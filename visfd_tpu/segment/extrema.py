@@ -1,0 +1,237 @@
+"""Plateau-aware local extrema detection.
+
+Capability parity with ``_FindExtrema``
+(``morphology_implementation.hpp:55-515``): a local minimum/maximum is
+a connected *plateau* of equal-valued voxels (connectivity 1/2/3 =
+squared neighbor radius) all of whose outside neighbors are strictly
+higher/lower. Plateaus touching the image border or mask boundary are
+disqualified when ``allow_borders=False``. Results are sorted (minima
+ascending, maxima descending by score; ties keep raster discovery
+order like the reference's tuple sort) and an optional label image
+marks maxima plateaus with +rank, minima with -rank, 0 elsewhere
+(positive-only when a single kind is requested).
+
+TPU formulation (replaces the reference's sequential BFS):
+
+1. per-voxel neighbor comparisons (shift-sums) give has_lower /
+   has_higher / touches_border flags;
+2. plateau connected components by iterative min-label propagation
+   with pointer jumping (converges in O(log diameter) rounds inside
+   one jitted ``lax.while_loop``) -- the converged label is the
+   smallest flat index in the plateau, which is exactly the
+   reference's raster-first representative voxel;
+3. plateau properties reduce over labels with scatter-min/add;
+4. tiny per-extremum lists are extracted and sorted host-side.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def neighbor_offsets(connectivity: int) -> Tuple[Tuple[int, int, int], ...]:
+    """Neighbor displacement set: all (dz,dy,dx) != 0 with
+    dx^2+dy^2+dz^2 <= connectivity
+    (``morphology_implementation.hpp:132-160``)."""
+    r = int(np.floor(np.sqrt(connectivity)))
+    offs = []
+    for dz in range(-r, r + 1):
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                if (dx, dy, dz) == (0, 0, 0):
+                    continue
+                if dx * dx + dy * dy + dz * dz > connectivity:
+                    continue
+                offs.append((dz, dy, dx))
+    return tuple(offs)
+
+
+def _shift_int(x, dzyx, fill):
+    out = x
+    for axis, d in enumerate(dzyx):
+        if d == 0:
+            continue
+        n = out.shape[axis]
+        pad = [(0, 0)] * out.ndim
+        sl = [slice(None)] * out.ndim
+        if d > 0:
+            pad[axis] = (0, d)
+            sl[axis] = slice(d, d + n)
+        else:
+            pad[axis] = (-d, 0)
+            sl[axis] = slice(0, n)
+        out = jnp.pad(out, pad, constant_values=fill)[tuple(sl)]
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("offsets",))
+def _extrema_device(x, mask, offsets):
+    """Returns (labels, has_lt, has_gt, touches_border) where labels is
+    the plateau-representative flat index per voxel (-1 outside mask).
+    """
+    nz, ny, nx = x.shape
+    n = nz * ny * nx
+    valid = jnp.ones(x.shape, bool) if mask is None else (mask != 0)
+
+    has_lt = jnp.zeros(x.shape, bool)
+    has_gt = jnp.zeros(x.shape, bool)
+    border = jnp.zeros(x.shape, bool)
+    # neighbor "same plateau" adjacency contributes to label propagation
+    idx = jnp.arange(n, dtype=jnp.int32).reshape(x.shape)
+
+    neigh_info = []
+    for off in offsets:
+        nv = _shift_int(x, off, np.nan)
+        nvalid = _shift_int(valid.astype(jnp.int32), off, 0) > 0
+        in_bounds = ~jnp.isnan(_shift_int(jnp.zeros_like(x), off, np.nan))
+        usable = nvalid & in_bounds
+        border = border | ~usable
+        has_lt = has_lt | (usable & (nv < x))
+        has_gt = has_gt | (usable & (nv > x))
+        same = usable & (nv == x)
+        nidx = _shift_int(idx, off, n)  # out-of-bounds -> n (sentinel)
+        neigh_info.append((same, nidx))
+
+    labels = idx
+
+    def body(state):
+        labels, _ = state
+        new = labels
+        flat = labels.reshape(-1)
+        for same, nidx in neigh_info:
+            nlab = flat[jnp.clip(nidx.reshape(-1), 0, n - 1)].reshape(x.shape)
+            new = jnp.where(same, jnp.minimum(new, nlab), new)
+        # pointer jumping: label <- label of representative
+        newf = new.reshape(-1)
+        new = newf[newf].reshape(x.shape)
+        changed = jnp.any(new != labels)
+        return new, changed
+
+    def cond(state):
+        return state[1]
+
+    labels, _ = jax.lax.while_loop(cond, body, (labels, jnp.asarray(True)))
+    labels = jnp.where(valid, labels, -1)
+    return labels, has_lt & valid, has_gt & valid, border & valid
+
+
+@dataclasses.dataclass
+class ExtremaResult:
+    minima_indices: np.ndarray   # flat indices ix + nx*(iy + ny*iz)
+    minima_scores: np.ndarray
+    minima_nvoxels: np.ndarray
+    maxima_indices: np.ndarray
+    maxima_scores: np.ndarray
+    maxima_nvoxels: np.ndarray
+    label_image: Optional[np.ndarray] = None
+
+    @property
+    def num_extrema(self) -> int:
+        return len(self.minima_indices) + len(self.maxima_indices)
+
+
+def find_extrema(
+    x,
+    mask=None,
+    find_minima: bool = True,
+    find_maxima: bool = True,
+    minima_threshold: float = np.inf,
+    maxima_threshold: float = -np.inf,
+    connectivity: int = 3,
+    allow_borders: bool = True,
+    want_label_image: bool = True,
+) -> ExtremaResult:
+    """Find plateau extrema; see module docstring. ``x`` is (Z, Y, X)."""
+    x = jnp.asarray(x, jnp.float32)
+    offs = neighbor_offsets(connectivity)
+    labels, has_lt, has_gt, border = _extrema_device(
+        x, None if mask is None else jnp.asarray(mask, jnp.float32), offs)
+
+    labels = np.asarray(labels)
+    has_lt = np.asarray(has_lt)
+    has_gt = np.asarray(has_gt)
+    border = np.asarray(border)
+    vals = np.asarray(x)
+    n = vals.size
+
+    flat_labels = labels.reshape(-1)
+    in_mask = flat_labels >= 0
+    lab = flat_labels[in_mask]
+    # per-plateau reductions
+    plateau_has_lt = np.zeros(n, bool)
+    plateau_has_gt = np.zeros(n, bool)
+    plateau_border = np.zeros(n, bool)
+    plateau_size = np.zeros(n, np.int64)
+    np.logical_or.at(plateau_has_lt, lab, has_lt.reshape(-1)[in_mask])
+    np.logical_or.at(plateau_has_gt, lab, has_gt.reshape(-1)[in_mask])
+    np.logical_or.at(plateau_border, lab, border.reshape(-1)[in_mask])
+    np.add.at(plateau_size, lab, 1)
+
+    roots = np.unique(lab)
+    is_min = ~plateau_has_lt[roots]
+    is_max = ~plateau_has_gt[roots]
+    if not allow_borders:
+        ok = ~plateau_border[roots]
+        is_min &= ok
+        is_max &= ok
+    root_vals = vals.reshape(-1)[roots]
+
+    def build(sel, scores_thresh_ok, descending):
+        rr = roots[sel & scores_thresh_ok]
+        sc = vals.reshape(-1)[rr]
+        nv = plateau_size[rr]
+        # discovery order == increasing root (raster) order; sort by
+        # score with the reference's tie behavior: ascending keeps
+        # raster order on ties; descending reverses it
+        order_key = np.arange(len(rr))
+        if descending:
+            perm = np.lexsort((-order_key, -sc))
+        else:
+            perm = np.lexsort((order_key, sc))
+        return rr[perm], sc[perm], nv[perm]
+
+    zero = np.zeros(0)
+    min_idx = min_sc = min_nv = zero
+    max_idx = max_sc = max_nv = zero
+    if find_minima:
+        min_idx, min_sc, min_nv = build(
+            is_min, root_vals <= minima_threshold, descending=False)
+    if find_maxima:
+        max_idx, max_sc, max_nv = build(
+            is_max, root_vals >= maxima_threshold, descending=True)
+
+    label_image = None
+    if want_label_image:
+        lut = np.zeros(n + 1, np.int64)  # maps root -> signed rank
+        if find_minima:
+            lut[min_idx] = -(np.arange(len(min_idx)) + 1)
+        if find_maxima:
+            lut[max_idx] = np.arange(len(max_idx)) + 1
+        label_image = np.where(labels >= 0, lut[np.clip(labels, 0, n)], 0)
+        if not (find_minima and find_maxima):
+            label_image = np.abs(label_image)
+
+    return ExtremaResult(
+        minima_indices=min_idx.astype(np.int64),
+        minima_scores=min_sc,
+        minima_nvoxels=min_nv,
+        maxima_indices=max_idx.astype(np.int64),
+        maxima_scores=max_sc,
+        maxima_nvoxels=max_nv,
+        label_image=label_image,
+    )
+
+
+def flat_to_xyz(index, shape_zyx):
+    """flat index ix + nx*(iy + ny*iz) -> (ix, iy, iz)."""
+    nz, ny, nx = shape_zyx
+    ix = index % nx
+    iy = (index // nx) % ny
+    iz = index // (nx * ny)
+    return ix, iy, iz
