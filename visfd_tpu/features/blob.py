@@ -1,0 +1,361 @@
+"""Scale-free blob detection: DoG scale space, 4-D extremum scan,
+non-max suppression, masked discard.
+
+Parity targets in the reference:
+
+* ``BlobDog`` (``feature.hpp:53-427``): per-sigma scale-normalized
+  LoG (DoG approximation); 3-image ring buffer; strict 80-neighbor
+  (x, y, z, sigma) extremum test (neighbors out of bounds or masked
+  disqualify); minima must score < 0, maxima > 0; adaptive ratio
+  thresholds during the scan are only a memory optimization -- the
+  final refilter against ratio*global best (``feature.hpp:362-417``)
+  defines the output, so we collect all candidates and apply the
+  final filter once (output-equivalent).
+* ``BlobDogD`` (``:446-512``): diameter interface, d = 2*sigma*sqrt(3).
+* ``SortBlobs`` (``:519-616``), ``DiscardOverlappingBlobs``
+  (``:720-913``, greedy best-first NMS through a coarse occupancy
+  grid -- replicated exactly, including the grid's conservative
+  collision detection), ``DiscardMaskedBlobs`` (``:924-969``),
+  ``CalcSphereOverlap`` (``visfd_utils.hpp:93-119``),
+  ``BlobDogNM``/``_BlobDogNM`` composition
+  (``bin/filter_mrc/feature_variants.hpp:394-580``).
+
+TPU split: the per-scale LoG filtering and the 80-neighbor extremum
+test run on device (the hot part, one fused jit per scale); candidate
+lists and NMS are tiny and run on the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visfd_tpu.ops import filters as F
+
+SORT_DECREASING = "decreasing"
+SORT_INCREASING = "increasing"
+SORT_DECREASING_MAGNITUDE = "decreasing_magnitude"
+SORT_INCREASING_MAGNITUDE = "increasing_magnitude"
+
+
+@dataclasses.dataclass
+class BlobList:
+    """Columnar blob list; crds are (N, 3) float voxel coords in
+    (x, y, z) order."""
+    crds: np.ndarray
+    diameters: np.ndarray
+    scores: np.ndarray
+
+    @classmethod
+    def empty(cls):
+        return cls(np.zeros((0, 3)), np.zeros(0), np.zeros(0))
+
+    def __len__(self):
+        return len(self.scores)
+
+    def take(self, idx) -> "BlobList":
+        return BlobList(self.crds[idx], self.diameters[idx],
+                        self.scores[idx])
+
+
+@jax.jit
+def _extremum_masks(prev, mid, next_, mask):
+    """Strict 4-D local extremum test over the 3x3x3x3 neighborhood
+    (80 neighbors; ``feature.hpp:227-308``). Any out-of-bounds or
+    masked neighbor disqualifies."""
+    center = mid
+    is_min = jnp.ones(mid.shape, bool)
+    is_max = jnp.ones(mid.shape, bool)
+    valid = None if mask is None else (mask != 0)
+
+    for plane in (prev, mid, next_):
+        for dz in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if plane is mid and dz == 0 and dy == 0 and dx == 0:
+                        continue
+                    nb = F._shift3(plane, (dz, dy, dx), fill=np.nan)
+                    ok = ~jnp.isnan(nb)
+                    if valid is not None:
+                        ok &= F._shift3(valid.astype(jnp.float32),
+                                        (dz, dy, dx), 0.0) > 0
+                    is_min &= ok & (nb > center)
+                    is_max &= ok & (nb < center)
+    if valid is not None:
+        is_min &= valid
+        is_max &= valid
+    return is_min, is_max
+
+
+def log_filter_for_scale(x, sigma_xyz, delta, truncate_ratio, mask):
+    return F.apply_log(x, sigma_xyz, mask=mask,
+                       delta_sigma_over_sigma=delta,
+                       truncate_ratio=truncate_ratio)
+
+
+def blob_dog(
+    x: jax.Array,
+    sigmas: Sequence[float],
+    mask: Optional[jax.Array] = None,
+    aspect_ratio: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+    delta_sigma_over_sigma: float = 0.02,
+    truncate_ratio: float = 2.5,
+    minima_threshold: float = np.inf,
+    maxima_threshold: float = -np.inf,
+    use_threshold_ratios: bool = True,
+    report=None,
+) -> Tuple[BlobList, BlobList]:
+    """Returns (minima, maxima) BlobLists with per-blob sigma stored in
+    ``diameters`` (callers converting to diameters use blob_dog_d)."""
+    x = jnp.asarray(x, jnp.float32)
+    m = None if mask is None else jnp.asarray(mask, jnp.float32)
+    sigmas = list(sigmas)
+
+    min_crds, min_sig, min_sc = [], [], []
+    max_crds, max_sig, max_sc = [], [], []
+
+    ring = [None, None, None]
+    for ir, s in enumerate(sigmas):
+        if report:
+            report.write(f"--- Progress: {ir+1}/{len(sigmas)}\n"
+                         f"--- Applying DoG filter using sigma[{ir}] = {s}"
+                         " (in voxels) ---\n")
+        sig_xyz = tuple(s * a for a in aspect_ratio)
+        ring[ir % 3] = log_filter_for_scale(
+            x, sig_xyz, delta_sigma_over_sigma, truncate_ratio, m)
+        if ir < 2:
+            continue
+        prev, mid, next_ = ring[(ir - 2) % 3], ring[(ir - 1) % 3], ring[ir % 3]
+        is_min, is_max = _extremum_masks(prev, mid, next_, m)
+        is_min, is_max = np.asarray(is_min), np.asarray(is_max)
+        mid_np = np.asarray(mid)
+        for sel, crds, sigl, scl, want_neg in (
+            (is_min & (mid_np < 0), min_crds, min_sig, min_sc, True),
+            (is_max & (mid_np > 0), max_crds, max_sig, max_sc, False),
+        ):
+            zyx = np.argwhere(sel)
+            if len(zyx):
+                crds.append(zyx[:, ::-1].astype(np.float64))  # (x, y, z)
+                sigl.append(np.full(len(zyx), sigmas[ir - 1]))
+                scl.append(mid_np[sel])
+
+    def pack(crds, sigl, scl):
+        if not crds:
+            return BlobList.empty()
+        return BlobList(np.concatenate(crds), np.concatenate(sigl),
+                        np.concatenate(scl))
+
+    minima = pack(min_crds, min_sig, min_sc)
+    maxima = pack(max_crds, max_sig, max_sc)
+
+    # final threshold filter (feature.hpp:362-417)
+    if np.isfinite(minima_threshold) or np.isfinite(maxima_threshold) \
+       or use_threshold_ratios:
+        mt, xt = minima_threshold, maxima_threshold
+        if use_threshold_ratios:
+            gmin = minima.scores.min() if len(minima) else 1.0
+            gmax = maxima.scores.max() if len(maxima) else -1.0
+            mt = minima_threshold * gmin
+            xt = maxima_threshold * gmax
+        if np.isfinite(mt) and len(minima):
+            minima = minima.take(minima.scores <= mt)
+        if np.isfinite(xt) and len(maxima):
+            maxima = maxima.take(maxima.scores >= xt)
+    return minima, maxima
+
+
+def blob_dog_d(
+    x: jax.Array,
+    diameters: Sequence[float],
+    mask: Optional[jax.Array] = None,
+    **kw,
+) -> Tuple[BlobList, BlobList]:
+    """Diameter interface: sigma = d / (2*sqrt(3))
+    (``feature.hpp:446-512``). Returned ``diameters`` columns are real
+    diameters."""
+    conv = 2.0 * np.sqrt(3.0)
+    sigmas = [d / conv for d in diameters]
+    minima, maxima = blob_dog(x, sigmas, mask=mask, **kw)
+    minima.diameters = minima.diameters * conv
+    maxima.diameters = maxima.diameters * conv
+    return minima, maxima
+
+
+def sort_blobs(
+    blobs: BlobList,
+    criteria: str = SORT_DECREASING_MAGNITUDE,
+    ascending_order: bool = True,
+) -> BlobList:
+    """Stable sort with the reference's tuple semantics
+    (``feature.hpp:519-616``): key is score (or |score|), ties keep
+    original order ascending / reversed order descending."""
+    if criteria in (SORT_DECREASING_MAGNITUDE, SORT_INCREASING_MAGNITUDE):
+        key = np.abs(blobs.scores)
+    else:
+        key = blobs.scores
+    ascending = ascending_order
+    if criteria in (SORT_INCREASING, SORT_INCREASING_MAGNITUDE):
+        ascending = not ascending
+    idx = np.arange(len(blobs))
+    if ascending:
+        perm = np.lexsort((idx, key))
+    else:
+        perm = np.lexsort((-idx, -key))
+    return blobs.take(perm)
+
+
+def calc_sphere_overlap(rij, ri, rj):
+    """Lens volume of two intersecting spheres
+    (``visfd_utils.hpp:93-119``)."""
+    if ri > rj:
+        ri, rj = rj, ri
+    if rij <= ri:
+        return (4 * np.pi / 3) * ri ** 3
+    xi = 0.5 / rij * (rij * rij + ri * ri - rj * rj)
+    xj = 0.5 / rij * (rij * rij + rj * rj - ri * ri)
+    return (np.pi / 3) * (
+        ri ** 3 * (2 - (xi / ri) * (3 - (xi / ri) ** 2))
+        + rj ** 3 * (2 - (xj / rj) * (3 - (xj / rj) ** 2)))
+
+
+def discard_overlapping_blobs(
+    blobs: BlobList,
+    min_radial_separation_ratio: float,
+    max_volume_overlap_large: float = np.inf,
+    max_volume_overlap_small: float = np.inf,
+    criteria: str = SORT_DECREASING_MAGNITUDE,
+    scale: int = 6,
+) -> BlobList:
+    """Greedy best-first NMS through a coarse occupancy grid,
+    replicating ``DiscardOverlappingBlobs`` (``feature.hpp:720-913``)
+    including its grid-limited collision detection."""
+    blobs = sort_blobs(blobs, criteria, ascending_order=False)
+    n = len(blobs)
+    if n == 0:
+        return blobs
+
+    # bounds are ints in the reference (truncation toward zero on
+    # assignment, feature.hpp:765-777); keep that exactly so the grid
+    # geometry matches
+    bounds_min = np.zeros(3, np.int64)
+    bounds_max = np.full(3, -1, np.int64)
+    for i in range(n):
+        reff = np.ceil(blobs.diameters[i] / 2)
+        for d in range(3):
+            lo = int(blobs.crds[i][d] - reff)  # trunc toward zero
+            hi = int(blobs.crds[i][d] + reff)
+            if lo < bounds_min[d] or bounds_min[d] > bounds_max[d]:
+                bounds_min[d] = lo
+            if hi > bounds_max[d] or bounds_min[d] > bounds_max[d]:
+                bounds_max[d] = hi
+    table_size = (1 + bounds_max - bounds_min) // scale
+
+    occ = {}
+    keep = []
+    for i in range(n):
+        reff_ = blobs.diameters[i] / 2
+        big_r = int(np.ceil(reff_ / scale)) + 1
+        big_rsq = big_r * big_r
+        cx, cy, cz = blobs.crds[i]
+        gx = int(np.floor((cx - bounds_min[0]) / scale))
+        gy = int(np.floor((cy - bounds_min[1]) / scale))
+        gz = int(np.floor((cz - bounds_min[2]) / scale))
+        discard = False
+        cells = []
+        for jz in range(-big_r, big_r + 1):
+            for jy in range(-big_r, big_r + 1):
+                for jx in range(-big_r, big_r + 1):
+                    if jx * jx + jy * jy + jz * jz > big_rsq:
+                        continue
+                    c = (gx + jx, gy + jy, gz + jz)
+                    if not (0 <= c[0] < table_size[0]
+                            and 0 <= c[1] < table_size[1]
+                            and 0 <= c[2] < table_size[2]):
+                        continue
+                    cells.append(c)
+                    if discard:
+                        continue
+                    for k in occ.get(c, ()):
+                        kx, ky, kz = blobs.crds[k]
+                        rik = np.sqrt((cx - kx) ** 2 + (cy - ky) ** 2
+                                      + (cz - kz) ** 2)
+                        ri = blobs.diameters[i] / 2
+                        rk = blobs.diameters[k] / 2
+                        if rik < (ri + rk) * min_radial_separation_ratio:
+                            discard = True
+                            break
+                        vol = calc_sphere_overlap(rik, ri, rk)
+                        vi = (4 * np.pi / 3) * ri ** 3
+                        vk = (4 * np.pi / 3) * rk ** 3
+                        v_large, v_small = max(vi, vk), min(vi, vk)
+                        if (vol / v_small > max_volume_overlap_small
+                                or vol / v_large > max_volume_overlap_large):
+                            discard = True
+                            break
+        if not discard:
+            keep.append(i)
+            for c in cells:
+                occ.setdefault(c, []).append(i)
+    return blobs.take(np.asarray(keep, int))
+
+
+def discard_masked_blobs(blobs: BlobList, mask: np.ndarray) -> BlobList:
+    """Drop blobs whose (rounded) centers fall where mask == 0
+    (``feature.hpp:924-969``)."""
+    if mask is None or len(blobs) == 0:
+        return blobs
+    mask = np.asarray(mask)
+    ix = np.floor(blobs.crds[:, 0] + 0.5).astype(int)
+    iy = np.floor(blobs.crds[:, 1] + 0.5).astype(int)
+    iz = np.floor(blobs.crds[:, 2] + 0.5).astype(int)
+    keep = mask[iz, iy, ix] != 0
+    return blobs.take(keep)
+
+
+def blob_dog_nm(
+    x,
+    diameters: Sequence[float],
+    mask=None,
+    aspect_ratio=(1.0, 1.0, 1.0),
+    delta_sigma_over_sigma: float = 0.02,
+    truncate_ratio: float = 2.5,
+    truncate_threshold: Optional[float] = None,
+    minima_threshold: float = 0.5,
+    maxima_threshold: float = 0.5,
+    use_threshold_ratios: bool = True,
+    sep_ratio_thresh: float = 1.0,
+    nonmax_max_overlap_large: float = 1.0,
+    nonmax_max_overlap_small: float = 1.0,
+    report=None,
+) -> Tuple[BlobList, BlobList]:
+    """Blob detection + NMS composition
+    (``feature_variants.hpp:394-580``). ``truncate_threshold`` (if
+    given and truncate_ratio <= 0) converts a kernel-decay cutoff into
+    a ratio: ratio = sqrt(-2 ln thresh)."""
+    if truncate_ratio <= 0:
+        assert truncate_threshold and truncate_threshold > 0
+        truncate_ratio = float(np.sqrt(-2.0 * np.log(truncate_threshold)))
+    minima, maxima = blob_dog_d(
+        x, diameters, mask=mask, aspect_ratio=aspect_ratio,
+        delta_sigma_over_sigma=delta_sigma_over_sigma,
+        truncate_ratio=truncate_ratio,
+        minima_threshold=minima_threshold,
+        maxima_threshold=maxima_threshold,
+        use_threshold_ratios=use_threshold_ratios,
+        report=report)
+    do_nms = (sep_ratio_thresh > 0.0 or nonmax_max_overlap_small < 1.0
+              or nonmax_max_overlap_large < 1.0)
+    if not do_nms:
+        return minima, maxima
+    minima = discard_overlapping_blobs(
+        minima, sep_ratio_thresh, nonmax_max_overlap_large,
+        nonmax_max_overlap_small, SORT_INCREASING)
+    maxima = discard_overlapping_blobs(
+        maxima, sep_ratio_thresh, nonmax_max_overlap_large,
+        nonmax_max_overlap_small, SORT_DECREASING)
+    return minima, maxima
