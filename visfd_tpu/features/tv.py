@@ -1,0 +1,190 @@
+"""Dense stick tensor voting (surface / curve saliency refinement).
+
+Parity with ``class TV3D`` (``feature.hpp:1624-2483``):
+
+* radial decay kernel = normalized generalized Gaussian exp(-(r/sigma)^2)
+  with corner truncation, window halfwidth = floor(sigma * ratio)
+  (``:2419-2440``);
+* per receiver i, each in-window source voxel s = i - j casts
+  ``vote = saliency(s) * w(j) * mask_src(s) * angle^(p/2) *
+  outer(n_rot, n_rot)`` where sin(theta) = r_hat . n(s),
+  ``angle = cos^2`` for surfaces / ``sin^2`` for curves, and
+  ``n_rot = 2 sin(theta) r_hat - n`` (surfaces) or its negation
+  (curves) (``:2216-2384``);
+* sources that are out of bounds, masked out, zero-saliency, or have
+  a zero kernel weight contribute neither votes nor denominator;
+* normalization: with a source mask, all 6 tensor channels divide by
+  the accumulated denominator; WITHOUT a mask the reference divides
+  through a full 3x3 double loop over the symmetric-6 storage, so
+  off-diagonal channels are divided TWICE by the separable
+  1-D-Gaussian box denominator (``feature.hpp:1840-1864`` -- a real
+  behavior we replicate for parity);
+* optional final diagonalization with DECREASING eigenvalue order.
+
+TPU formulation: receiver-centric gather as a ``lax.fori_loop`` over
+the (2*hw+1)^3 window offsets; each step is a dynamic-slice shifted
+fused multiply-add over the whole (Z, Y, X) grid -- the same
+gather-not-scatter structure the reference chose for thread safety is
+what makes this race-free and vectorizable on the VPU. The loop body
+is O(30) elementwise ops; the offset tables (radial weight, unit
+displacement) are precomputed host-side like the reference's lookup
+tables.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visfd_tpu.ops import kernels as K
+from visfd_tpu.ops.conv import _ones_denom_1d
+from visfd_tpu.linalg import sym3
+
+
+def tv_tables(sigma: float, truncate_ratio: float = 2.5):
+    """(radial weights (K,), unit displacements (K, 3) in (x, y, z),
+    offsets (K, 3) as (jz, jy, jx), halfwidth)."""
+    hw = int(np.floor(sigma * truncate_ratio))
+    ker = K.gen_gauss_kernel_3d((sigma,) * 3, 2.0, (hw,) * 3)  # (Z, Y, X)
+    jz, jy, jx = np.meshgrid(*([np.arange(-hw, hw + 1)] * 3), indexing="ij")
+    offs = np.stack([jz.ravel(), jy.ravel(), jx.ravel()], axis=-1)
+    w = ker.ravel().astype(np.float32)
+    length = np.sqrt((offs ** 2).sum(axis=-1)).astype(np.float32)
+    length[length == 0] = 1.0
+    rhat = np.stack([offs[:, 2], offs[:, 1], offs[:, 0]],
+                    axis=-1).astype(np.float32) / length[:, None]
+    return w, rhat, offs.astype(np.int32), hw
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("exponent", "detect_curves", "hw", "want_denominator"))
+def _tv_accumulate(
+    saliency, nvec, mask_src, mask_dest,
+    w_table, rhat_table, off_table,
+    exponent: int, detect_curves: bool, hw: int,
+    want_denominator: bool,
+):
+    nz, ny, nx = saliency.shape
+    pad = [(hw, hw)] * 3
+    sal_pad = jnp.pad(saliency, pad)
+    n_pad = jnp.pad(nvec, pad + [(0, 0)])
+    if mask_src is not None:
+        m_pad = jnp.pad(mask_src, pad)
+    else:
+        m_pad = jnp.pad(jnp.ones_like(saliency), pad)
+
+    dest0 = jnp.zeros((nz, ny, nx, 6), jnp.float32)
+    den0 = jnp.zeros((nz, ny, nx), jnp.float32)
+
+    def body(k, carry):
+        dest, den = carry
+        w = w_table[k]
+        rh = rhat_table[k]          # (3,) in (x, y, z)
+        off = off_table[k]          # (jz, jy, jx)
+        # source voxel = receiver - j: shifted_field[i] = field[i - j]
+        start = (hw - off[0], hw - off[1], hw - off[2])
+        sal = jax.lax.dynamic_slice(sal_pad, start, (nz, ny, nx))
+        m = jax.lax.dynamic_slice(m_pad, start, (nz, ny, nx))
+        n = jax.lax.dynamic_slice(
+            n_pad, start + (0,), (nz, ny, nx, 3))
+
+        filter_val = w * m
+        active = (sal != 0.0) & (filter_val != 0.0)
+        weight = jnp.where(active, sal * filter_val, 0.0)
+
+        sin_t = n[..., 0] * rh[0] + n[..., 1] * rh[1] + n[..., 2] * rh[2]
+        sin2 = sin_t * sin_t
+        cos2 = 1.0 - sin2
+        ang2 = sin2 if detect_curves else cos2
+        if exponent == 2:
+            decay_ang = ang2
+        elif exponent == 4:
+            decay_ang = ang2 * ang2
+        elif exponent % 2 == 0:
+            decay_ang = ang2 ** (exponent // 2)
+        else:
+            decay_ang = jnp.abs(ang2) ** (0.5 * exponent)
+        sinx2 = 2.0 * sin_t
+        if detect_curves:
+            nr = n - sinx2[..., None] * rh
+        else:
+            nr = sinx2[..., None] * rh - n
+
+        amp = weight * decay_ang
+        vote = jnp.stack([
+            nr[..., 0] * nr[..., 0], nr[..., 1] * nr[..., 1],
+            nr[..., 2] * nr[..., 2], nr[..., 0] * nr[..., 1],
+            nr[..., 1] * nr[..., 2], nr[..., 0] * nr[..., 2],
+        ], axis=-1) * amp[..., None]
+        dest = dest + vote
+        if want_denominator:
+            den = den + jnp.where(active, filter_val, 0.0)
+        return dest, den
+
+    dest, den = jax.lax.fori_loop(0, w_table.shape[0], body, (dest0, den0))
+    if mask_dest is not None:
+        sel = (mask_dest != 0)[..., None]
+        dest = jnp.where(sel, dest, 0.0)
+        den = jnp.where(mask_dest != 0, den, 0.0)
+    return dest, den
+
+
+def tv_dense_stick(
+    saliency: jax.Array,          # (Z, Y, X)
+    nvec: jax.Array,              # (Z, Y, X, 3) unit stick directions (x,y,z)
+    sigma: float,
+    exponent: int = 4,
+    mask_src: Optional[jax.Array] = None,
+    mask_dest: Optional[jax.Array] = None,
+    detect_curves: bool = False,
+    truncate_ratio: float = 2.5,
+    normalize: bool = True,
+    diagonalize_dest: bool = False,
+) -> jax.Array:
+    """Run dense stick voting; returns (Z, Y, X, 6) vote tensors (or
+    [eivals, shoemake] when diagonalize_dest)."""
+    w, rhat, offs, hw = tv_tables(sigma, truncate_ratio)
+    saliency = jnp.asarray(saliency, jnp.float32)
+    nvec = jnp.asarray(nvec, jnp.float32)
+    ms = None if mask_src is None else jnp.asarray(mask_src, jnp.float32)
+    md = None if mask_dest is None else jnp.asarray(mask_dest, jnp.float32)
+    want_den = bool(normalize and ms is not None)
+    dest, den = _tv_accumulate(
+        saliency, nvec, ms, md,
+        jnp.asarray(w), jnp.asarray(rhat), jnp.asarray(offs),
+        int(exponent), bool(detect_curves), hw, want_den)
+
+    if normalize:
+        if ms is not None:
+            ok = den > 0
+            dest = jnp.where(ok[..., None],
+                             dest / jnp.where(ok, den, 1.0)[..., None], dest)
+        else:
+            # no-mask shortcut: separable product of the 1-D *discrete*
+            # Gaussian convolved with all-ones (feature.hpp:1833-1864).
+            # The reference divides through a full 3x3 loop, so the 3
+            # off-diagonal channels are divided twice -- replicated.
+            k1 = jnp.asarray(K.gauss_kernel_1d(sigma, hw))
+            dz = _ones_denom_1d(k1, saliency.shape[0])[:, None, None]
+            dy = _ones_denom_1d(k1, saliency.shape[1])[None, :, None]
+            dx = _ones_denom_1d(k1, saliency.shape[2])[None, None, :]
+            den_box = dz * dy * dx
+            scale = jnp.stack([den_box, den_box, den_box,
+                               den_box * den_box, den_box * den_box,
+                               den_box * den_box], axis=-1)
+            dest = dest / scale
+            if md is not None:
+                dest = jnp.where((md != 0)[..., None], dest, 0.0)
+
+    if diagonalize_dest:
+        diag = sym3.diagonalize_flat_sym3(dest,
+                                          order=sym3.EigenOrder.DECREASING)
+        if md is not None:
+            diag = diag * (md != 0)[..., None]
+        dest = diag
+    return dest
