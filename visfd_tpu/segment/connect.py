@@ -1,0 +1,437 @@
+"""Direction-aware connected-component labeling ("-connect").
+
+Parity with ``LabelConnected`` (``connect.hpp:168-1432``): a
+watershed-like flood from saliency maxima that
+
+1. discards voxels whose saliency Hessian disagrees with the vote
+   tensor (trace-product gate) or whose principal Hessian eigenvector
+   disagrees with the voxel direction (``:458-560``);
+2. refuses neighbor links with incompatible tensors/vectors
+   (``:625-673`` -- including the reference's quirk of gating the
+   signed vector comparison on ``aaaafSymmetricTensor`` and using
+   ``threshold_tensor_neighbor`` for it);
+3. merges colliding basins into clusters (union structures);
+4. standardizes direction-vector signs per basin with Möbius-loop
+   cutting and a final outward-orientation flip via center-of-mass
+   dot products (``:697-772, 1186-1289``);
+5. applies must-link constraints (``:829-1045``);
+6. renumbers clusters (sorted by size or by seed value), labels 1..N,
+   undefined -> ``label_undefined`` (``:1316-1426``).
+
+Reference quirk replicated deliberately: ``TraceProductSym3``
+(``lin3_utils.hpp:502-531``) indexes its 6x2 lookup table out of
+bounds with constant indices; the well-defined-on-real-hardware
+flattened reads yield ``2*A0*B0 + A0*B1 + A1*B0 + A1*B1 + A1*B2 +
+A2*B1 + 2*A2*B2`` -- a formula that ignores the off-diagonal tensor
+channels. All reference tensor gates are driven by this formula, so we
+use it too (``trace_product_sym3_quirk``); the mathematically correct
+version is available as ``trace_product_sym3``.
+
+The per-voxel gates are precomputed on device (vectorized Hessian +
+eigenvectors); the ordered flood itself runs on the host like
+``segment.watershed``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import heapq
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from visfd_tpu.features import hessian as H
+from visfd_tpu.linalg import sym3
+from visfd_tpu.segment.extrema import find_extrema, neighbor_offsets, flat_to_xyz
+
+SAME_DIRECTION = "same"
+OPPOSITE_DIRECTION = "opposite"
+AUTO_DIRECTION = "auto"
+
+SORT_BY_VALUE = "value"
+SORT_BY_SIZE = "size"
+
+
+def trace_product_sym3(a, b):
+    """Correct trace(A B) for flat-6 symmetric matrices."""
+    return (a[..., 0] * b[..., 0] + a[..., 1] * b[..., 1]
+            + a[..., 2] * b[..., 2]
+            + 2.0 * (a[..., 3] * b[..., 3] + a[..., 4] * b[..., 4]
+                     + a[..., 5] * b[..., 5]))
+
+
+def trace_product_sym3_quirk(a, b):
+    """The reference's compiled TraceProductSym3 behavior (see module
+    docstring)."""
+    return (2.0 * a[..., 0] * b[..., 0]
+            + a[..., 0] * b[..., 1] + a[..., 1] * b[..., 0]
+            + a[..., 1] * b[..., 1]
+            + a[..., 1] * b[..., 2] + a[..., 2] * b[..., 1]
+            + 2.0 * a[..., 2] * b[..., 2])
+
+
+def frobenius_norm_sym3_quirk(a):
+    return np.sqrt(np.maximum(trace_product_sym3_quirk(a, a), 0.0))
+
+
+def find_nearest_voxel(labels, target_xyz, mask=None,
+                       exclude_label=None):
+    """Nearest voxel (by Euclidean index distance) whose label is NOT
+    ``exclude_label`` (``visfd_utils.hpp:144-186`` with
+    invert_selection=true). Returns (ix, iy, iz) or None."""
+    nz, ny, nx = labels.shape
+    sel = np.ones(labels.shape, bool)
+    if mask is not None:
+        sel &= np.asarray(mask) != 0
+    if exclude_label is not None:
+        sel &= labels != exclude_label
+    if not sel.any():
+        return None
+    zz, yy, xx = np.nonzero(sel)
+    tx, ty, tz = target_xyz
+    d2 = (xx - tx) ** 2 + (yy - ty) ** 2 + (zz - tz) ** 2
+    k = np.argmin(d2)
+    return int(xx[k]), int(yy[k]), int(zz[k])
+
+
+@dataclasses.dataclass
+class ConnectResult:
+    labels: np.ndarray            # (Z, Y, X); clusters 1..N
+    num_clusters: int
+    cluster_maxima: np.ndarray    # (N, 3) (ix, iy, iz) seed of each cluster
+    cluster_sizes: np.ndarray
+    cluster_saliencies: np.ndarray
+    vector_standardized: Optional[np.ndarray] = None  # (Z, Y, X, 3)
+
+
+def label_connected(
+    saliency: np.ndarray,
+    mask: Optional[np.ndarray] = None,
+    threshold_saliency: float = -np.inf,
+    vector: Optional[np.ndarray] = None,            # (Z, Y, X, 3) (x,y,z)
+    threshold_vector_saliency: float = -np.inf,
+    threshold_vector_neighbor: float = -np.inf,
+    consider_dot_product_sign: bool = True,
+    tensor: Optional[np.ndarray] = None,            # (Z, Y, X, 6)
+    threshold_tensor_saliency: float = -np.inf,
+    threshold_tensor_neighbor: float = -np.inf,
+    tensor_is_positive_definite_near_target: bool = True,
+    connectivity: int = 1,
+    label_undefined: int = -1,
+    sort_criteria: str = SORT_BY_SIZE,
+    voxel_weights: Optional[np.ndarray] = None,
+    standardize_vector_sign: bool = False,
+    must_link: Optional[Sequence[Sequence[Tuple[float, float, float]]]] = None,
+    must_link_directions: Optional[Sequence[Sequence[str]]] = None,
+    start_from_saliency_maxima: bool = True,
+    report=None,
+) -> ConnectResult:
+    saliency = np.asarray(saliency, np.float32)
+    nz, ny, nx = saliency.shape
+    valid = None if mask is None else (np.asarray(mask) != 0)
+    offs = neighbor_offsets(connectivity)
+    sign = -1.0 if start_from_saliency_maxima else 1.0
+    order = (sym3.EigenOrder.DECREASING if start_from_saliency_maxima
+             else sym3.EigenOrder.INCREASING)
+
+    if not consider_dot_product_sign:
+        # connect.hpp:209-227
+        if threshold_vector_saliency < 0:
+            threshold_vector_saliency = 0.0
+        if threshold_vector_neighbor < 0:
+            threshold_vector_neighbor = 0.0
+
+    # ---- device precompute: saliency Hessian + per-voxel gates ----
+    hess = np.asarray(H.hessian_fd(jnp.asarray(saliency)))  # (Z,Y,X,6)
+    if tensor_is_positive_definite_near_target == start_from_saliency_maxima:
+        hess = -hess
+    discard = np.zeros(saliency.shape, bool)
+    if tensor is not None:
+        tensor = np.asarray(tensor, np.float32)
+        tp = trace_product_sym3_quirk(hess, tensor)
+        fs = frobenius_norm_sym3_quirk(hess)
+        ft = frobenius_norm_sym3_quirk(tensor)
+        with np.errstate(invalid="ignore"):
+            # -inf * 0 -> nan compares False, same as the C++ compare
+            discard |= tp < threshold_tensor_saliency * fs * ft
+    if vector is not None:
+        vector = np.asarray(vector, np.float32)
+        diag = np.asarray(sym3.diagonalize_flat_sym3(jnp.asarray(hess),
+                                                     order=order))
+        evects = np.asarray(sym3.shoemake_to_matrix(jnp.asarray(diag[..., 3:6])))
+        v1 = evects[..., 0, :]  # principal eigenvector (row 0)
+        dot = np.einsum("...d,...d->...", v1, vector)
+        lv1 = np.linalg.norm(v1, axis=-1)
+        lv = np.linalg.norm(vector, axis=-1)
+        if consider_dot_product_sign:
+            discard |= dot < threshold_vector_saliency * lv1 * lv
+        else:
+            discard |= dot * dot < (threshold_vector_saliency ** 2
+                                    * lv1 * lv1 * lv * lv)
+
+    # ---- seeds ----
+    res = find_extrema(
+        saliency, mask=mask,
+        find_minima=not start_from_saliency_maxima,
+        find_maxima=start_from_saliency_maxima,
+        minima_threshold=(threshold_saliency
+                          if not start_from_saliency_maxima else np.inf),
+        maxima_threshold=(threshold_saliency
+                          if start_from_saliency_maxima else -np.inf),
+        connectivity=connectivity, allow_borders=True,
+        want_label_image=False)
+    if start_from_saliency_maxima:
+        seed_flat, seed_scores = res.maxima_indices, res.maxima_scores
+    else:
+        seed_flat, seed_scores = res.minima_indices, res.minima_scores
+    n_basins = len(seed_flat)
+    seed_locs = [flat_to_xyz(int(i), saliency.shape) for i in seed_flat]
+
+    UNDEF = n_basins + 1
+    labels = np.full(saliency.shape, UNDEF, np.int64)
+    QUEUED = n_basins + 2
+
+    basin2cluster = np.arange(n_basins, dtype=np.int64)
+    cluster2basins: List[set] = [set([i]) for i in range(n_basins)]
+    basin2polarity = np.ones(n_basins, np.int8)
+
+    vec_std = None
+    if vector is not None and standardize_vector_sign \
+       and not consider_dot_product_sign:
+        vec_std = np.array(vector, np.float32, copy=True)
+
+    q = []
+    for i, (ix, iy, iz) in enumerate(seed_locs):
+        heapq.heappush(q, (float(seed_scores[i]) * sign, -i,
+                           (-ix, -iy, -iz)))
+        labels[iz, iy, ix] = QUEUED
+
+    def pair_link_ok(ci, cj):
+        """Neighbor-link gates (connect.hpp:625-673). ci/cj are
+        (iz, iy, ix) tuples; returns False to skip the link."""
+        if tensor is not None:
+            ti = tensor[ci]
+            tj = tensor[cj]
+            if trace_product_sym3_quirk(ti, tj) < (
+                    threshold_tensor_neighbor
+                    * frobenius_norm_sym3_quirk(ti)
+                    * frobenius_norm_sym3_quirk(tj)):
+                return False
+            # reference quirk: this vector check is gated on the
+            # TENSOR being present, and the signed branch compares
+            # against threshold_tensor_neighbor (connect.hpp:646-673)
+            vi, vj = vector[ci], vector[cj]
+            dot = float(vi @ vj)
+            li = float(np.linalg.norm(vi))
+            lj = float(np.linalg.norm(vj))
+            if consider_dot_product_sign:
+                if dot < threshold_tensor_neighbor * li * lj:
+                    return False
+            else:
+                if dot * dot < (threshold_vector_neighbor ** 2
+                                * li * li * lj * lj):
+                    return False
+        return True
+
+    voxels_cut_due_to_polarity = False
+
+    while q:
+        score, neg_basin, neg_crd = heapq.heappop(q)
+        basin = -neg_basin
+        ix, iy, iz = -neg_crd[0], -neg_crd[1], -neg_crd[2]
+
+        if score > threshold_saliency * sign:
+            labels[iz, iy, ix] = UNDEF
+            continue
+        if valid is not None and not valid[iz, iy, ix]:
+            labels[iz, iy, ix] = UNDEF
+            continue
+        if discard[iz, iy, ix]:
+            labels[iz, iy, ix] = UNDEF
+            if (ix, iy, iz) == seed_locs[basin]:
+                basin2cluster[basin] = -1
+            continue
+
+        labels[iz, iy, ix] = basin
+
+        for dz, dy, dx in offs:
+            z, y, x = iz + dz, iy + dy, ix + dx
+            if not (0 <= z < nz and 0 <= y < ny and 0 <= x < nx):
+                continue
+            if valid is not None and not valid[z, y, x]:
+                continue
+            if not pair_link_ok((iz, iy, ix), (z, y, x)):
+                continue
+            nlab = labels[z, y, x]
+            if nlab == QUEUED:
+                continue
+            if nlab == UNDEF:
+                labels[z, y, x] = QUEUED
+                heapq.heappush(q, (float(saliency[z, y, x]) * sign,
+                                   -basin, (-x, -y, -z)))
+                if vec_std is not None:
+                    if float(vec_std[iz, iy, ix] @ vec_std[z, y, x]) < 0.0:
+                        vec_std[z, y, x] = -vec_std[z, y, x]
+            else:
+                basin_j = nlab
+                ci = basin2cluster[basin]
+                cj = basin2cluster[basin_j]
+                polarity_match = True
+                if vec_std is not None:
+                    if (float(vec_std[iz, iy, ix] @ vec_std[z, y, x])
+                            * basin2polarity[basin]
+                            * basin2polarity[basin_j]) < 0.0:
+                        polarity_match = False
+                if ci == cj:
+                    if not polarity_match:
+                        voxels_cut_due_to_polarity = True
+                        continue
+                else:
+                    merged, deleted = min(ci, cj), max(ci, cj)
+                    for b in cluster2basins[deleted]:
+                        cluster2basins[merged].add(b)
+                        basin2cluster[b] = merged
+                        if vec_std is not None and not polarity_match:
+                            basin2polarity[b] = -basin2polarity[b]
+                    cluster2basins[deleted].clear()
+
+    # ---- must-link constraints (connect.hpp:829-1045) ----
+    if must_link:
+        for gi, group in enumerate(must_link):
+            basin_j = None
+            r_j = None
+            for li_, loc in enumerate(group):
+                target = tuple(int(np.floor(c + 0.5)) for c in loc)
+                r_i = find_nearest_voxel(labels, target, mask=mask,
+                                         exclude_label=UNDEF)
+                if r_i is None:
+                    raise ValueError(
+                        "No voxels clustered; must-link target unreachable")
+                basin_i = int(labels[r_i[2], r_i[1], r_i[0]])
+                if basin_j is not None and basin_i != basin_j:
+                    ci = basin2cluster[basin_i]
+                    cj = basin2cluster[basin_j]
+                    if ci != cj:
+                        merged, deleted = min(ci, cj), max(ci, cj)
+                        flip = False
+                        if vec_std is not None:
+                            n_i = vec_std[r_i[2], r_i[1], r_i[0]]
+                            n_j = vec_std[r_j[2], r_j[1], r_j[0]]
+                            rij = np.array(r_i, float) - np.array(r_j, float)
+                            nrm = np.linalg.norm(rij)
+                            rij = rij / nrm if nrm > 0 else rij
+                            mode = AUTO_DIRECTION
+                            if must_link_directions is not None:
+                                mode = must_link_directions[gi][li_]
+                            if mode == SAME_DIRECTION:
+                                pm = float(n_i @ n_j) > 0
+                            elif mode == OPPOSITE_DIRECTION:
+                                pm = float(n_i @ n_j) < 0
+                            else:
+                                nid = float(n_i @ rij)
+                                njd = float(n_j @ rij)
+                                th0 = np.pi / 4
+                                if (np.arcsin(min(abs(nid), 1.0)) < th0
+                                        and np.arcsin(min(abs(njd), 1.0))
+                                        < th0):
+                                    pm = float(n_i @ n_j) > 0
+                                else:
+                                    pm = nid * njd <= 0
+                            flip = pm != (basin2polarity[basin_i]
+                                          == basin2polarity[basin_j])
+                        for b in cluster2basins[deleted]:
+                            cluster2basins[merged].add(b)
+                            basin2cluster[b] = merged
+                            if vec_std is not None and flip:
+                                basin2polarity[b] = -basin2polarity[b]
+                        cluster2basins[deleted].clear()
+                basin_j = basin_i
+                r_j = r_i
+
+    # ---- renumber clusters ----
+    n_clusters = 0
+    old2new = np.zeros(max(n_basins, 1), np.int64)
+    cluster2deepest = []
+    for i in range(n_basins):
+        old2new[i] = n_clusters
+        if basin2cluster[i] == i:
+            cluster2deepest.append(i)
+            n_clusters += 1
+    if report:
+        report.write(f"Number of clusters found: {n_clusters}\n")
+    b2c = np.where(basin2cluster >= 0, old2new[np.clip(basin2cluster, 0,
+                                                       n_basins - 1)], -1)
+
+    # ---- apply per-basin polarity to standardized vectors ----
+    in_basin = labels < n_basins
+    if vec_std is not None:
+        pol = basin2polarity[np.clip(labels, 0, max(n_basins - 1, 0))]
+        vec_std = np.where(in_basin[..., None],
+                           vec_std * pol[..., None].astype(np.float32),
+                           vec_std)
+
+    # voxel label -> cluster id
+    cl = np.where(in_basin, b2c[np.clip(labels, 0, max(n_basins - 1, 0))],
+                  -1)
+
+    # cluster sizes (optionally weighted)
+    sizes = np.zeros(max(n_clusters, 1), np.float64)
+    sel = cl >= 0
+    if voxel_weights is not None:
+        np.add.at(sizes, cl[sel], np.asarray(voxel_weights)[sel])
+    else:
+        np.add.at(sizes, cl[sel], 1.0)
+
+    # outward-orientation standardization (connect.hpp:1186-1289)
+    if vec_std is not None and n_clusters > 0:
+        zz, yy, xx = np.nonzero(sel)
+        cid = cl[sel]
+        w = (np.asarray(voxel_weights)[sel] if voxel_weights is not None
+             else np.ones(len(cid)))
+        com = np.zeros((n_clusters, 3))
+        np.add.at(com, cid, np.stack([xx, yy, zz], -1) * w[:, None])
+        com /= sizes[:n_clusters, None]
+        rel = np.stack([xx, yy, zz], -1) - com[cid]
+        dots = np.einsum("nd,nd->n", rel, vec_std[sel]) * w
+        sums = np.zeros(n_clusters)
+        np.add.at(sums, cid, dots)
+        flip_sel = sums[cid] < 0.0
+        v = vec_std[sel]
+        v[flip_sel] = -v[flip_sel]
+        vec_std[sel] = v
+
+    maxima = np.array([seed_locs[b] for b in cluster2deepest],
+                      np.int64).reshape(-1, 3)
+    saliencies = np.array(
+        [saliency[seed_locs[b][2], seed_locs[b][1], seed_locs[b][0]]
+         for b in cluster2deepest], np.float32)
+
+    # ---- sort clusters ----
+    if sort_criteria == SORT_BY_SIZE and n_clusters > 0:
+        order_idx = np.arange(n_clusters)
+        perm = np.lexsort((-order_idx, -sizes[:n_clusters]))
+        inv = np.empty(n_clusters, np.int64)
+        inv[perm] = np.arange(n_clusters)
+        cl = np.where(cl >= 0, inv[np.clip(cl, 0, n_clusters - 1)], -1)
+        maxima = maxima[perm]
+        sizes_sorted = sizes[:n_clusters][perm]
+        saliencies = saliencies[perm]
+    else:
+        sizes_sorted = sizes[:n_clusters]
+
+    out = np.where(cl >= 0, cl + 1, label_undefined)
+    if valid is not None:
+        # outside the mask the reference leaves dest at its flooded
+        # state; practically those voxels were never assigned -> UNDEF
+        # value is preserved there without label_undefined remapping
+        out = np.where(valid, out, UNDEF)
+
+    return ConnectResult(
+        labels=out,
+        num_clusters=n_clusters,
+        cluster_maxima=maxima,
+        cluster_sizes=sizes_sorted,
+        cluster_saliencies=saliencies,
+        vector_standardized=vec_std,
+    )
