@@ -82,19 +82,23 @@ class MrcHeader:
         )
 
     def print_stats(self, out) -> None:
-        """Same text layout as ``MrcHeader::PrintStats``."""
+        """Same text layout as ``MrcHeader::PrintStats`` (C++ default
+        ostream float formatting = 6 significant digits)."""
+        def g(v):
+            return f"{float(v):.6g}"
+
         n = self.nvoxels
         w = self.voxel_width_xyz
         out.write(
             "  mrc file stats:\n"
             f"    number of voxels: {n[0]} x {n[1]} x {n[2]}\n"
-            f"    voxel size in file header: {w[0]} x {w[1]} x {w[2]}\n"
+            f"    voxel size in file header: {g(w[0])} x {g(w[1])} x {g(w[2])}\n"
             f"    table axis order: {self.mapCRS[0]} {self.mapCRS[1]} {self.mapCRS[2]}\n"
             f"    mode: {self.mode}\n"
-            f"    minimum brightness: {self.dmin}\n"
-            f"    maximum brightness: {self.dmax}\n"
-            f"    mean brightness: {self.dmean}\n"
-            f"    origin: {self.origin[0]} {self.origin[1]} {self.origin[2]}\n"
+            f"    minimum brightness: {g(self.dmin)}\n"
+            f"    maximum brightness: {g(self.dmax)}\n"
+            f"    mean brightness: {g(self.dmean)}\n"
+            f"    origin: {g(self.origin[0])} {g(self.origin[1])} {g(self.origin[2])}\n"
         )
 
 
