@@ -1,0 +1,86 @@
+"""Sharded-vs-single-chip parity on a forced 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from visfd_tpu.parallel.mesh import make_mesh, grid_sharding
+from visfd_tpu.parallel import sharded as SH
+from visfd_tpu.ops import kernels as K
+from visfd_tpu.ops.filters import apply_gauss
+from visfd_tpu.features import hessian as FH
+from visfd_tpu.features import tv as TV
+from visfd_tpu.linalg import sym3
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert jax.device_count() >= 8, "conftest forces 8 host devices"
+    return make_mesh(8)
+
+
+def test_mesh_shape(mesh8):
+    assert mesh8.devices.size == 8
+    # near-square factorization: 4x2
+    assert sorted(mesh8.devices.shape) == [2, 4]
+
+
+def test_sharded_gauss_matches_single(mesh8, rng):
+    nz, ny, nx = 16, 16, 12
+    x = rng.normal(size=(nz, ny, nx)).astype(np.float32)
+    sigma, hw = 1.5, 3
+    k1 = K.gauss_kernel_1d(sigma, hw)
+
+    def local(xb):
+        return SH._sharded_gauss(xb, k1, k1, k1, hw, "z", "y")
+
+    fn = jax.jit(shard_map(local, mesh=mesh8, in_specs=(P("z", "y"),),
+                           out_specs=P("z", "y"), check_vma=False))
+    xs = jax.device_put(jnp.asarray(x), grid_sharding(mesh8))
+    got = np.asarray(fn(xs))
+    want = np.asarray(apply_gauss(jnp.asarray(x), sigma,
+                                  truncate_halfwidth=(hw,) * 3))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_membrane_step_matches_single(mesh8):
+    """The full sharded flagship step must reproduce the single-device
+    composition of the same stages."""
+    nz, ny, nx = 16, 16, 16
+    img = np.zeros((nz, ny, nx), np.float32)
+    img[:, :, 7:9] = 1.0
+    img += 0.01 * np.arange(nx)[None, None, :]  # break symmetry
+
+    sigma, tv_sigma, p = 1.5, 1.5, 4
+    step, sharding = SH.make_membrane_step(
+        mesh8, sigma=sigma, tv_sigma=tv_sigma, tv_exponent=p,
+        saliency_threshold=0.0)
+    xs = jax.device_put(jnp.asarray(img), sharding)
+    stick_sh, vote_sh = step(xs)
+
+    # single-device reference composition
+    hw = max(1, int(np.floor(sigma * 2.5)))
+    x = jnp.asarray(img)
+    grad, hess = FH.calc_hessian(x, sigma)
+    eivals, evects = sym3.diagonalize_sym3(
+        sym3.flat_to_full(hess), order=sym3.EigenOrder.DECREASING)
+    sal = np.asarray(FH.score_hessian_planar(eivals))
+    direction = np.asarray(evects)[..., 0, :]
+    vote = np.asarray(TV.tv_dense_stick(
+        jnp.asarray(sal.astype(np.float32)),
+        jnp.asarray(direction.astype(np.float32)),
+        tv_sigma, exponent=p, truncate_ratio=float(np.sqrt(2.0)),
+        normalize=False))
+    vvals, _ = sym3.diagonalize_sym3(
+        sym3.flat_to_full(jnp.asarray(vote)),
+        order=sym3.EigenOrder.DECREASING, want_vects=False)
+    stick = np.asarray(vvals[..., 0] - vvals[..., 1])
+
+    np.testing.assert_allclose(np.asarray(vote_sh), vote,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(stick_sh), stick,
+                               rtol=1e-4, atol=1e-4)

@@ -60,23 +60,16 @@ def tv_tables(sigma: float, truncate_ratio: float = 2.5):
     return w, rhat, offs.astype(np.int32), hw
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("exponent", "detect_curves", "hw", "want_denominator"))
-def _tv_accumulate(
-    saliency, nvec, mask_src, mask_dest,
+def tv_accumulate_padded(
+    sal_pad, n_pad, m_pad, out_shape,
     w_table, rhat_table, off_table,
     exponent: int, detect_curves: bool, hw: int,
     want_denominator: bool,
 ):
-    nz, ny, nx = saliency.shape
-    pad = [(hw, hw)] * 3
-    sal_pad = jnp.pad(saliency, pad)
-    n_pad = jnp.pad(nvec, pad + [(0, 0)])
-    if mask_src is not None:
-        m_pad = jnp.pad(mask_src, pad)
-    else:
-        m_pad = jnp.pad(jnp.ones_like(saliency), pad)
+    """Core vote-accumulation loop over PRE-PADDED (by hw) fields.
+    Exposed separately so the sharded path (which pads with halo
+    exchange instead of zeros) can reuse the identical vote math."""
+    nz, ny, nx = out_shape
 
     dest0 = jnp.zeros((nz, ny, nx, 6), jnp.float32)
     den0 = jnp.zeros((nz, ny, nx), jnp.float32)
@@ -127,6 +120,29 @@ def _tv_accumulate(
         return dest, den
 
     dest, den = jax.lax.fori_loop(0, w_table.shape[0], body, (dest0, den0))
+    return dest, den
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("exponent", "detect_curves", "hw", "want_denominator"))
+def _tv_accumulate(
+    saliency, nvec, mask_src, mask_dest,
+    w_table, rhat_table, off_table,
+    exponent: int, detect_curves: bool, hw: int,
+    want_denominator: bool,
+):
+    pad = [(hw, hw)] * 3
+    sal_pad = jnp.pad(saliency, pad)
+    n_pad = jnp.pad(nvec, pad + [(0, 0)])
+    if mask_src is not None:
+        m_pad = jnp.pad(mask_src, pad)
+    else:
+        m_pad = jnp.pad(jnp.ones_like(saliency), pad)
+    dest, den = tv_accumulate_padded(
+        sal_pad, n_pad, m_pad, saliency.shape,
+        w_table, rhat_table, off_table,
+        exponent, detect_curves, hw, want_denominator)
     if mask_dest is not None:
         sel = (mask_dest != 0)[..., None]
         dest = jnp.where(sel, dest, 0.0)
