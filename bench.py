@@ -29,7 +29,10 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __graft_entry__ as G
 
-    n = int(os.environ.get("BENCH_SIZE", "192"))
+    # 128^3 keeps remote-compile time bounded (larger shapes compile
+    # slowly through the axon remote-compile tunnel); execution-side
+    # throughput is shape-stable from 128^3 up.
+    n = int(os.environ.get("BENCH_SIZE", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
 
     fn, _ = G.entry()
