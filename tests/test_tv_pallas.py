@@ -1,0 +1,63 @@
+"""Pallas TV kernel vs the jnp reference implementation (interpret
+mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from visfd_tpu.features import tv as TV
+from visfd_tpu.ops.tv_pallas import tv_dense_stick_pallas
+
+
+def _random_fields(rng, n):
+    sal = rng.uniform(0, 1, size=(n, n, n)).astype(np.float32)
+    sal[sal < 0.4] = 0.0
+    v = rng.normal(size=(n, n, n, 3)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    return sal, v
+
+
+@pytest.mark.parametrize("exponent", [2, 4])
+def test_pallas_matches_jnp_dense(rng, exponent):
+    n, sigma = 8, 1.5
+    sal, v = _random_fields(rng, n)
+    want = np.asarray(TV.tv_dense_stick(
+        jnp.asarray(sal), jnp.asarray(v), sigma, exponent=exponent,
+        normalize=False))
+    got, den = tv_dense_stick_pallas(
+        jnp.asarray(sal), jnp.asarray(v), sigma, exponent=exponent,
+        interpret=True)
+    assert den is None
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_matches_jnp_masked_with_denominator(rng):
+    n, sigma = 8, 1.2
+    sal, v = _random_fields(rng, n)
+    mask = (rng.uniform(size=(n, n, n)) > 0.25).astype(np.float32)
+    want = np.asarray(TV.tv_dense_stick(
+        jnp.asarray(sal), jnp.asarray(v), sigma, exponent=4,
+        mask_src=jnp.asarray(mask), normalize=False))
+    got, den = tv_dense_stick_pallas(
+        jnp.asarray(sal), jnp.asarray(v), sigma, exponent=4,
+        mask_src=jnp.asarray(mask), want_denominator=True,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+    # denominator matches the jnp masked accumulation
+    from tests.test_tv import brute_tv
+    _, den_want = brute_tv(sal * mask, v, sigma, 4, mask, None)
+    np.testing.assert_allclose(np.asarray(den), den_want,
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_curve_mode(rng):
+    n, sigma = 7, 1.2
+    sal, v = _random_fields(rng, n)
+    want = np.asarray(TV.tv_dense_stick(
+        jnp.asarray(sal), jnp.asarray(v), sigma, exponent=2,
+        detect_curves=True, normalize=False))
+    got, _ = tv_dense_stick_pallas(
+        jnp.asarray(sal), jnp.asarray(v), sigma, exponent=2,
+        detect_curves=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
