@@ -6,12 +6,19 @@ The benchmarked computation is the hot path of the reference's
 flagship `filter_mrc -membrane ... -tv ...` pipeline (SURVEY 3.2):
 separable Gaussian blur -> FD Hessian -> voxelwise closed-form
 eigendecomposition -> planar saliency -> dense stick tensor voting ->
-vote-tensor eigendecomposition -> stick saliency, fused into one jit.
+vote-tensor eigendecomposition -> stick saliency.
+
+Timing methodology: the step is iterated on-device inside one jitted
+``lax.fori_loop`` (one dispatch covers BENCH_ITERS executions), because
+per-dispatch timing through the axon tunnel is unreliable.
+
+BENCH_TV=pallas (default) uses the hand-tuned Pallas voting kernel
+(slow first compile through remote-compile setups, ~8x faster steady
+state); BENCH_TV=jnp forces the XLA path.
 
 vs_baseline compares voxels/s against the compiled C++ reference
-(16-thread OpenMP) measured on the same machine and stored in
-``baseline_cpp.json`` (see tools/measure_reference.py); falls back to
-1.0 if no measurement is available.
+(16-thread OpenMP extrapolation) measured on the same machine and
+stored in ``baseline_cpp.json`` (see tools/measure_reference.py).
 """
 
 import json
@@ -22,31 +29,92 @@ import time
 import numpy as np
 
 
+def build_step(tv_mode: str):
+    import jax
+    import jax.numpy as jnp
+    from visfd_tpu.ops import kernels as K
+    from visfd_tpu.ops.conv import _conv1d_axis_impl
+    from visfd_tpu.features import tv as TV
+    from visfd_tpu.features import hessian as FH
+    from visfd_tpu.linalg import sym3
+
+    sigma, tv_sigma = 2.0, 2.0
+    hw = max(1, int(np.floor(sigma * 2.5)))
+    k1 = jnp.asarray(K.gauss_kernel_1d(sigma, hw))
+    w_np, rh_np, off_np, tv_hw = TV.tv_tables(tv_sigma,
+                                              float(np.sqrt(2.0)))
+    tabs = (jnp.asarray(w_np), jnp.asarray(rh_np), jnp.asarray(off_np))
+
+    def step(x, k1, w_t, rh_t, off_t):
+        blur = _conv1d_axis_impl(x, k1, 0)
+        blur = _conv1d_axis_impl(blur, k1, 1)
+        blur = _conv1d_axis_impl(blur, k1, 2)
+        hess = FH.hessian_fd(blur) * (sigma * sigma)
+        eivals, evects = sym3.diagonalize_sym3(
+            sym3.flat_to_full(hess), order=sym3.EigenOrder.DECREASING)
+        l1, l2 = eivals[..., 0], eivals[..., 1]
+        nrm = l1 * l1 - l2 * l2
+        saliency = nrm * nrm
+        direction = evects[..., 0, :]
+        if tv_mode == "pallas":
+            from visfd_tpu.ops.tv_pallas import tv_dense_stick_pallas
+            vote, _ = tv_dense_stick_pallas(
+                saliency, direction, tv_sigma, exponent=4,
+                truncate_ratio=float(np.sqrt(2.0)))
+        else:
+            pad = [(tv_hw, tv_hw)] * 3
+            vote, _ = TV.tv_accumulate_padded(
+                jnp.pad(saliency, pad),
+                jnp.pad(direction, pad + [(0, 0)]),
+                jnp.pad(jnp.ones_like(saliency), pad),
+                saliency.shape, w_t, rh_t, off_t, 4, False, tv_hw, False)
+        vvals, _ = sym3.diagonalize_sym3(
+            sym3.flat_to_full(vote), order=sym3.EigenOrder.DECREASING,
+            want_vects=False)
+        return vvals[..., 0] - vvals[..., 1]
+
+    return step, (k1,) + tabs
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import __graft_entry__ as G
 
-    # 128^3 keeps remote-compile time bounded (larger shapes compile
-    # slowly through the axon remote-compile tunnel); execution-side
-    # throughput is shape-stable from 128^3 up.
+    # 128^3 keeps remote-compile time bounded; throughput is
+    # shape-stable from 128^3 up.
     n = int(os.environ.get("BENCH_SIZE", "128"))
-    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    tv_mode = os.environ.get("BENCH_TV", "pallas")
 
-    fn, _ = G.entry()
-    x = jnp.asarray(
-        np.random.default_rng(0).normal(size=(n, n, n)).astype(np.float32))
-    jfn = jax.jit(fn)
-    # compile + warmup
-    out = jfn(x)
-    out.block_until_ready()
-    t0 = time.time()
-    for _ in range(iters):
-        out = jfn(x)
-    out.block_until_ready()
-    dt = (time.time() - t0) / iters
+    def run_mode(mode):
+        step, tables = build_step(mode)
+
+        def looped(x0, *tables):
+            def body(i, s):
+                out = step(s, *tables)
+                return out / (jnp.max(jnp.abs(out)) + 1e-30)
+            return jax.lax.fori_loop(0, iters, body, x0)
+
+        jl = jax.jit(looped)
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(n, n, n)).astype(np.float32))
+        out = jl(x, *tables)
+        float(out.ravel()[0])  # warm (forces completion)
+        t0 = time.time()
+        out = jl(x, *tables)
+        float(out.ravel()[0])
+        return (time.time() - t0) / iters
+
+    try:
+        dt = run_mode(tv_mode)
+    except Exception as e:  # pallas compile/runtime issue: fall back
+        print(f"bench: {tv_mode} path failed ({e}); falling back to jnp",
+              file=sys.stderr)
+        tv_mode = "jnp"
+        dt = run_mode(tv_mode)
+
     voxels_per_s = (n ** 3) / dt
 
     vs_baseline = 1.0

@@ -1,31 +1,25 @@
 """Pallas TPU kernel for dense stick tensor voting.
 
-The jnp implementation (``visfd_tpu.features.tv``) re-reads every
-source field from HBM once per window offset: traffic scales as
-K * N^3 (K = (2*hw+1)^3 window voxels).  This kernel blocks the volume
-along Z and keeps the source slab plus the 6(+1) vote accumulators in
-VMEM across the whole offset loop, so HBM traffic drops to ~three
-passes over the volume and the loop runs at VPU compute speed.
+One receiver z-row per grid step; the (2*hw+1) haloed source rows of
+each field are DMA'd to VMEM once and the whole (2*hw+1)^3 vote loop
+runs as straight-line 2-D vector code with STATIC offsets only --
+no dynamic slices, no rolls, no 3-D vector ops (each of those made
+the Mosaic/axon compiler either explode or emit slow code; see git
+history for the graveyard).  Vote accumulators live in registers
+across the loop, so HBM traffic is ~(2*hw+1) passes over the volume
+and the kernel is bounded by VPU shift+FMA throughput.
 
-Design notes:
-* receiver block = (BZ, Y, X); the haloed source slab (BZ+2hw, Y+2hw,
-  X+2hw) is assembled in VMEM from three consecutive standard input
-  blocks (prev/cur/next, via three BlockSpecs on a z-padded input) --
-  no manual DMA, so Mosaic's alignment rules are satisfied;
-* the radial weight exp(-(|j|/sigma)^2) (with the reference's corner
-  truncation, ``filter3d.hpp:556-586``) and the unit displacement
-  r_hat = j/|j| are recomputed from the loop indices -- no lookup
-  tables, no gathers (the kernel normalization constant is folded into
-  the amplitude);
-* jz iterates in a ``fori_loop`` (dynamic offsets are only on the
-  leading, untiled dimension); jy/jx are unrolled static sublane/lane
-  shifts;
-* masked voting reuses the dense path with sal' = saliency * mask (the
-  vote weight factorizes; see feature.hpp:2262-2292) and accumulates
-  the normalization denominator as a 7th channel when requested.
+The radial weight exp(-(|j|/sigma)^2) (with the reference's corner
+truncation, ``filter3d.hpp:556-586``) and the unit displacement
+r_hat = j/|j| are baked in as python constants per offset.
 
-Matches ``TV.tv_dense_stick(..., normalize=False)`` and the masked
-denominator to f32 roundoff.
+Masked voting reuses the dense path with sal' = saliency * mask (the
+vote weight factorizes; see feature.hpp:2262-2292) and accumulates the
+normalization denominator as a 7th channel when requested.  Matches
+``TV.tv_dense_stick(..., normalize=False)`` to f32 roundoff.
+
+Intended for small/medium windows (hw <= ~4: compile size grows as
+(2*hw+1)^3); ``features.tv`` is the general XLA fallback.
 """
 
 from __future__ import annotations
@@ -42,118 +36,90 @@ from jax.experimental.pallas import tpu as pltpu
 from visfd_tpu.ops import kernels as K
 
 
-def _choose_bz(nz: int, ny: int, nx: int, hw: int, vmem_budget=9 * 2**20):
-    """Largest Z block size (dividing nz, >= hw) that keeps slabs +
-    accumulators in VMEM."""
-    def bytes_for(bz):
-        slab = (bz + 2 * hw) * (ny + 2 * hw) * (nx + 2 * hw) * 4
-        blocks = 3 * bz * (ny + 2 * hw) * (nx + 2 * hw) * 4
-        acc = bz * ny * nx * 4 * 7
-        return 5 * (slab + blocks) + acc
-    bz = None
-    for cand in range(1, nz + 1):
-        if nz % cand:
-            continue
-        if cand >= hw and bytes_for(cand) <= vmem_budget:
-            if bz is None or cand > bz:
-                bz = cand
-    if bz is None:
-        bz = max(c for c in range(1, nz + 1) if nz % c == 0 and c >= hw)
-    return bz
-
-
 def _tv_kernel(hw, exponent, detect_curves, sigma, norm, want_den,
-               bz, ny, nx, *refs):
+               ny, nx, *refs):
     n_fields = 5 if want_den else 4
-    ins = refs[: 3 * n_fields]
-    out_ref = refs[3 * n_fields]
-    scratch = refs[3 * n_fields + 1:]
-    slabs = scratch[:n_fields]
-    acc = scratch[n_fields]
-
     w_len = 2 * hw + 1
+    ins = refs[:n_fields]          # HBM-resident z-padded fields
+    out_ref = refs[n_fields]
+    slabs = refs[n_fields + 1:n_fields + 1 + n_fields]
+    sems = refs[n_fields + 1 + n_fields]
 
-    # assemble haloed slabs: prev[-hw:], cur, next[:hw]
-    for f in range(n_fields):
-        prev, cur, nxt = ins[3 * f], ins[3 * f + 1], ins[3 * f + 2]
-        slabs[f][0:hw] = prev[bz - hw:bz]
-        slabs[f][hw:hw + bz] = cur[...]
-        slabs[f][hw + bz:hw + bz + hw] = nxt[0:hw]
+    i = pl.program_id(0)
+    copies = [
+        pltpu.make_async_copy(ins[f].at[pl.ds(i, w_len)], slabs[f],
+                              sems.at[f])
+        for f in range(n_fields)
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
 
-    sal_v, n0_v, n1_v, n2_v = slabs[:4]
-    md_v = slabs[4] if want_den else None
-
-    acc[...] = jnp.zeros_like(acc)
-
-    # corner truncation threshold (filter3d.hpp:556-586): axis-edge value
     trunc = float(np.exp(-((hw / sigma) ** 2))) if sigma > 0 else 1.0
-    inv_s2 = 1.0 / (sigma * sigma)
+    n_acc = 7 if want_den else 6
+    acc = [jnp.zeros((ny, nx), jnp.float32) for _ in range(n_acc)]
 
-    def body_z(tz, _):
+    for tz in range(w_len):
         jz = tz - hw
-        fz = jz.astype(jnp.float32)
-        z0 = hw - jz  # dynamic start on the leading (untiled) dim only
-
-        def do_jyx(ty, tx):
-            jy = ty - hw
-            jx = tx - hw
-            fy = float(jy)
-            fx = float(jx)
-            r2 = fz * fz + fy * fy + fx * fx
-            w = jnp.exp(-r2 * inv_s2)
-            w = jnp.where(w < trunc * (1.0 - 1e-6), 0.0, w) * norm
-            inv_len = jnp.where(
-                r2 > 0, jax.lax.rsqrt(jnp.maximum(r2, 1e-30)), 0.0)
-            rx = fx * inv_len
-            ry = fy * inv_len
-            rz = fz * inv_len
-
-            y0 = hw - jy
-            x0 = hw - jx
-            s = sal_v[pl.ds(z0, bz), y0:y0 + ny, x0:x0 + nx]
-            a0 = n0_v[pl.ds(z0, bz), y0:y0 + ny, x0:x0 + nx]
-            a1 = n1_v[pl.ds(z0, bz), y0:y0 + ny, x0:x0 + nx]
-            a2 = n2_v[pl.ds(z0, bz), y0:y0 + ny, x0:x0 + nx]
-
-            sin_t = a0 * rx + a1 * ry + a2 * rz
-            sin2 = sin_t * sin_t
-            cos2 = 1.0 - sin2
-            ang2 = sin2 if detect_curves else cos2
-            if exponent == 2:
-                dec = ang2
-            elif exponent % 2 == 0:
-                dec = ang2
-                for _ in range(exponent // 2 - 1):
-                    dec = dec * ang2
-            else:
-                dec = jnp.abs(ang2) ** (0.5 * exponent)
-            sx2 = 2.0 * sin_t
-            if detect_curves:
-                r0 = a0 - sx2 * rx
-                r1 = a1 - sx2 * ry
-                r2v = a2 - sx2 * rz
-            else:
-                r0 = sx2 * rx - a0
-                r1 = sx2 * ry - a1
-                r2v = sx2 * rz - a2
-            amp = s * w * dec
-            acc[0] += amp * r0 * r0
-            acc[1] += amp * r1 * r1
-            acc[2] += amp * r2v * r2v
-            acc[3] += amp * r0 * r1
-            acc[4] += amp * r1 * r2v
-            acc[5] += amp * r0 * r2v
-            if want_den:
-                m = md_v[pl.ds(z0, bz), y0:y0 + ny, x0:x0 + nx]
-                acc[6] += jnp.where(s != 0.0, w * m, 0.0)
-
+        src_z = 2 * hw - tz
+        s2r = slabs[0][src_z]
+        b0r = slabs[1][src_z]
+        b1r = slabs[2][src_z]
+        b2r = slabs[3][src_z]
+        m2r = slabs[4][src_z] if want_den else None
         for ty in range(w_len):
             for tx in range(w_len):
-                do_jyx(ty, tx)
-        return 0
+                jy = ty - hw
+                jx = tx - hw
+                r2c = float(jz * jz + jy * jy + jx * jx)
+                w = float(np.exp(-r2c / (sigma * sigma)))
+                if w < trunc * (1.0 - 1e-6):
+                    continue  # corner-truncated tap: zero weight
+                w *= norm
+                ln = float(np.sqrt(r2c)) if r2c > 0 else 1.0
+                rx, ry, rz = jx / ln, jy / ln, jz / ln
+                y0 = hw - jy
+                x0 = hw - jx
+                sl = (slice(y0, y0 + ny), slice(x0, x0 + nx))
+                s = s2r[sl]
+                a0 = b0r[sl]
+                a1 = b1r[sl]
+                a2 = b2r[sl]
 
-    jax.lax.fori_loop(0, w_len, body_z, 0)
-    out_ref[...] = acc[...]
+                sin_t = a0 * rx + a1 * ry + a2 * rz
+                sin2 = sin_t * sin_t
+                ang2 = sin2 if detect_curves else 1.0 - sin2
+                if exponent == 2:
+                    dec = ang2
+                elif exponent % 2 == 0:
+                    dec = ang2
+                    for _ in range(exponent // 2 - 1):
+                        dec = dec * ang2
+                else:
+                    dec = jnp.abs(ang2) ** (0.5 * exponent)
+                sx2 = 2.0 * sin_t
+                if detect_curves:
+                    r0 = a0 - sx2 * rx
+                    r1 = a1 - sx2 * ry
+                    r2v = a2 - sx2 * rz
+                else:
+                    r0 = sx2 * rx - a0
+                    r1 = sx2 * ry - a1
+                    r2v = sx2 * rz - a2
+                amp = s * (w * dec)
+                acc[0] = acc[0] + amp * r0 * r0
+                acc[1] = acc[1] + amp * r1 * r1
+                acc[2] = acc[2] + amp * r2v * r2v
+                acc[3] = acc[3] + amp * r0 * r1
+                acc[4] = acc[4] + amp * r1 * r2v
+                acc[5] = acc[5] + amp * r0 * r2v
+                if want_den:
+                    m = m2r[sl]
+                    acc[6] = acc[6] + jnp.where(s != 0.0, w * m, 0.0)
+
+    for ch in range(n_acc):
+        out_ref[ch, 0] = acc[ch]
 
 
 def tv_dense_stick_pallas(
@@ -171,6 +137,7 @@ def tv_dense_stick_pallas(
     masked-normalization denominator (Z, Y, X)."""
     nz, ny, nx = saliency.shape
     hw = int(np.floor(sigma * truncate_ratio))
+    w_len = 2 * hw + 1
     ker = K.gen_gauss_kernel_3d((sigma,) * 3, 2.0, (hw,) * 3)
     norm = float(ker[hw, hw, hw])  # normalized kernel peak value = A
 
@@ -183,47 +150,35 @@ def tv_dense_stick_pallas(
         sal_eff = sal
         md = jnp.ones_like(sal)
 
-    bz = _choose_bz(nz, ny, nx, hw)
-    nzp = bz + 2 * hw
-    nyp = ny + 2 * hw
-    nxp = nx + 2 * hw
+    # row shapes padded to (8, 128) tile multiples so every slice keeps
+    # a clean layout story
+    nyp = -(-(ny + 2 * hw) // 8) * 8
+    nxp = -(-(nx + 2 * hw) // 128) * 128
     n_ch = 7 if want_denominator else 6
     n_fields = 5 if want_denominator else 4
 
-    # pad y/x by hw (stencil halo) and z by bz (so the prev/next block
-    # views of block i are always in range)
-    pad = [(bz, bz), (hw, hw), (hw, hw)]
+    pad = [(hw, hw), (hw, nyp - ny - hw), (hw, nxp - nx - hw)]
     fields = [jnp.pad(f, pad) for f in
               ([sal_eff, nvec[..., 0], nvec[..., 1], nvec[..., 2], md]
                [:n_fields])]
 
     kern = functools.partial(
         _tv_kernel, hw, exponent, detect_curves, sigma, norm,
-        want_denominator, bz, ny, nx)
-
-    blk = (bz, nyp, nxp)
-    in_specs = []
-    ins = []
-    for f in fields:
-        for off in (0, 1, 2):
-            in_specs.append(pl.BlockSpec(
-                blk, functools.partial(lambda o, i: (i + o, 0, 0), off),
-                memory_space=pltpu.VMEM))
-            ins.append(f)
+        want_denominator, ny, nx)
 
     out = pl.pallas_call(
         kern,
-        grid=(nz // bz,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((n_ch, bz, ny, nx),
+        grid=(nz,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_fields,
+        out_specs=pl.BlockSpec((n_ch, 1, ny, nx),
                                lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_ch, nz, ny, nx), jnp.float32),
         scratch_shapes=(
-            [pltpu.VMEM((nzp, nyp, nxp), jnp.float32)] * n_fields
-            + [pltpu.VMEM((n_ch, bz, ny, nx), jnp.float32)]),
+            [pltpu.VMEM((w_len, nyp, nxp), jnp.float32)] * n_fields
+            + [pltpu.SemaphoreType.DMA((n_fields,))]),
         interpret=interpret,
-    )(*ins)
+    )(*fields)
 
     vote = jnp.moveaxis(out[:6], 0, -1)
     den = out[6] if want_denominator else None

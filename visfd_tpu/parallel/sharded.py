@@ -153,11 +153,11 @@ def make_membrane_step(
     """
     z_name, y_name = mesh.axis_names
     hw = max(1, int(np.floor(sigma * truncate_ratio)))
-    k1 = K.gauss_kernel_1d(sigma, hw)
-    w_t, rhat_t, off_t, tv_hw = TV.tv_tables(tv_sigma, tv_truncate_ratio)
-    w_t, rhat_t, off_t = (jnp.asarray(v) for v in (w_t, rhat_t, off_t))
+    k1_np = K.gauss_kernel_1d(sigma, hw)
+    w_np, rhat_np, off_np, tv_hw = TV.tv_tables(tv_sigma, tv_truncate_ratio)
 
-    def local_step(x):
+    # tables enter as traced args (constant-embedding pessimizes XLA)
+    def local_step(x, k1, w_t, rhat_t, off_t):
         blur = _sharded_gauss(x, k1, k1, k1, hw, z_name, y_name)
         grad, hess = _local_gradient_hessian(blur, z_name, y_name)
         grad = grad * sigma
@@ -180,8 +180,14 @@ def make_membrane_step(
     spec = P(z_name, y_name)
     sharded = shard_map(
         local_step, mesh=mesh,
-        in_specs=(spec,),
+        in_specs=(spec, P(), P(), P(), P()),
         out_specs=(spec, P(z_name, y_name, None, None)),
         check_vma=False)
-    step = jax.jit(sharded)
+    jitted = jax.jit(sharded)
+    tables = (jnp.asarray(k1_np), jnp.asarray(w_np),
+              jnp.asarray(rhat_np), jnp.asarray(off_np))
+
+    def step(x):
+        return jitted(x, *tables)
+
     return step, NamedSharding(mesh, spec)
