@@ -1,0 +1,129 @@
+"""Native C++ runtime vs pure-Python fallback parity.
+
+The flood algorithms in ``visfd_tpu/native/visfd_native.cpp`` must be
+bit-identical to the Python implementations in
+``visfd_tpu.segment.{watershed,connect}`` (same heap ordering, same
+tie-breaks, same label states).
+"""
+
+import contextlib
+import os
+
+import numpy as np
+import pytest
+
+from visfd_tpu import native
+
+
+@contextlib.contextmanager
+def forced_native(enabled: bool):
+    old = os.environ.get("VISFD_NATIVE")
+    os.environ["VISFD_NATIVE"] = "1" if enabled else "0"
+    native._tried = False
+    native._lib = None
+    try:
+        yield
+    finally:
+        if old is None:
+            os.environ.pop("VISFD_NATIVE", None)
+        else:
+            os.environ["VISFD_NATIVE"] = old
+        native._tried = False
+        native._lib = None
+
+
+def test_native_library_loads():
+    with forced_native(True):
+        assert native.load() is not None, "native runtime failed to build"
+
+
+@pytest.mark.parametrize("connectivity", [1, 3])
+@pytest.mark.parametrize("minima", [True, False])
+def test_watershed_parity(connectivity, minima):
+    from visfd_tpu.segment import watershed as W
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(14, 15, 16)).astype(np.float32)
+    mask = rng.random((14, 15, 16)) > 0.15
+    kw = dict(mask=mask, start_from_minima=minima,
+              connectivity=connectivity, show_boundaries=True)
+    with forced_native(True):
+        r_nat = W.watershed(x, **kw)
+    with forced_native(False):
+        r_py = W.watershed(x, **kw)
+    assert r_nat.num_basins == r_py.num_basins
+    np.testing.assert_array_equal(r_nat.labels, r_py.labels)
+
+
+def test_watershed_parity_halt_and_plateaus():
+    from visfd_tpu.segment import watershed as W
+    rng = np.random.default_rng(3)
+    # quantized values create plateaus and heap ties
+    x = np.round(rng.normal(size=(12, 12, 12)) * 3).astype(np.float32)
+    with forced_native(True):
+        r_nat = W.watershed(x, halt_threshold=1.0)
+    with forced_native(False):
+        r_py = W.watershed(x, halt_threshold=1.0)
+    np.testing.assert_array_equal(r_nat.labels, r_py.labels)
+
+
+def _connect_inputs(seed=11, shape=(12, 13, 14)):
+    rng = np.random.default_rng(seed)
+    sal = rng.random(shape).astype(np.float32)
+    # smooth it a little so there are fewer, larger basins
+    for ax in range(3):
+        sal = (sal + np.roll(sal, 1, ax) + np.roll(sal, -1, ax)) / 3.0
+    vec = rng.normal(size=shape + (3,)).astype(np.float32)
+    tens = rng.normal(size=shape + (6,)).astype(np.float32)
+    mask = rng.random(shape) > 0.1
+    return sal.astype(np.float32), vec, tens, mask
+
+
+@pytest.mark.parametrize("with_tensor", [False, True])
+def test_connect_parity(with_tensor):
+    from visfd_tpu.segment import connect as C
+    sal, vec, tens, mask = _connect_inputs()
+    kw = dict(
+        mask=mask,
+        threshold_saliency=0.3,
+        vector=vec,
+        threshold_vector_saliency=-0.5,
+        threshold_vector_neighbor=0.2,
+        consider_dot_product_sign=False,
+        tensor=tens if with_tensor else None,
+        threshold_tensor_saliency=-0.5 if with_tensor else -np.inf,
+        threshold_tensor_neighbor=-0.2 if with_tensor else -np.inf,
+        connectivity=3,
+        standardize_vector_sign=True,
+        sort_criteria=C.SORT_BY_SIZE,
+    )
+    with forced_native(True):
+        r_nat = C.label_connected(sal, **kw)
+    with forced_native(False):
+        r_py = C.label_connected(sal, **kw)
+    assert r_nat.num_clusters == r_py.num_clusters
+    np.testing.assert_array_equal(r_nat.labels, r_py.labels)
+    np.testing.assert_array_equal(r_nat.cluster_sizes, r_py.cluster_sizes)
+    if r_nat.vector_standardized is not None:
+        np.testing.assert_array_equal(r_nat.vector_standardized,
+                                      r_py.vector_standardized)
+
+
+def test_connect_parity_must_link():
+    from visfd_tpu.segment import connect as C
+    sal, vec, tens, mask = _connect_inputs(seed=23)
+    groups = [[(2.0, 2.0, 2.0), (10.0, 10.0, 10.0)]]
+    kw = dict(
+        threshold_saliency=0.35,
+        vector=vec,
+        threshold_vector_neighbor=0.1,
+        consider_dot_product_sign=False,
+        standardize_vector_sign=True,
+        connectivity=1,
+        must_link=groups,
+    )
+    with forced_native(True):
+        r_nat = C.label_connected(sal, **kw)
+    with forced_native(False):
+        r_py = C.label_connected(sal, **kw)
+    assert r_nat.num_clusters == r_py.num_clusters
+    np.testing.assert_array_equal(r_nat.labels, r_py.labels)

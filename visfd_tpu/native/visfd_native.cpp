@@ -1,0 +1,265 @@
+// Native host runtime for visfd_tpu: the inherently sequential,
+// priority-ordered flood algorithms that stay on the host while the
+// dense voxel math runs on TPU.
+//
+// These reproduce the reference's sequential C++ semantics exactly
+// (same priority ordering, same tie-breaking, same label states):
+//   * visfd_watershed_flood  ~ Watershed        (segmentation.hpp:240-468)
+//   * visfd_connect_flood    ~ LabelConnected   (connect.hpp:431-809)
+//
+// The Python modules visfd_tpu.segment.{watershed,connect} hold the
+// authoritative (and bit-identical) pure-Python fallbacks; this
+// library is the fast path, compiled on demand and loaded via ctypes.
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC visfd_native.cpp -o _visfd_native.so
+
+#include <cstdint>
+#include <cmath>
+#include <queue>
+#include <vector>
+
+namespace {
+
+struct QEnt {
+  double score;
+  int64_t basin;
+  int32_t ix, iy, iz;
+};
+
+// priority_queue pops the *largest* element under this less-than.
+// Pop order required (matching the reference's
+// priority_queue<tuple<-score, basin, (ix,iy,iz)>>):
+// smallest score first; ties -> largest basin id; ties -> largest
+// (ix, iy, iz) lexicographically.
+struct QCmp {
+  bool operator()(const QEnt &a, const QEnt &b) const {
+    if (a.score != b.score) return a.score > b.score;
+    if (a.basin != b.basin) return a.basin < b.basin;
+    if (a.ix != b.ix) return a.ix < b.ix;
+    if (a.iy != b.iy) return a.iy < b.iy;
+    return a.iz < b.iz;
+  }
+};
+
+using Heap = std::priority_queue<QEnt, std::vector<QEnt>, QCmp>;
+
+inline bool in_bounds(int64_t z, int64_t y, int64_t x,
+                      int64_t nz, int64_t ny, int64_t nx) {
+  return 0 <= z && z < nz && 0 <= y && y < ny && 0 <= x && x < nx;
+}
+
+// TraceProductSym3 as actually compiled in the reference (constant
+// out-of-bounds indexing quirk; see visfd_tpu.segment.connect docs).
+inline double trace_product_quirk(const float *a, const float *b) {
+  return 2.0 * (double)a[0] * b[0]
+       + (double)a[0] * b[1] + (double)a[1] * b[0]
+       + (double)a[1] * b[1]
+       + (double)a[1] * b[2] + (double)a[2] * b[1]
+       + 2.0 * (double)a[2] * b[2];
+}
+
+inline double frobenius_quirk(const float *a) {
+  double t = trace_product_quirk(a, a);
+  return t > 0.0 ? std::sqrt(t) : 0.0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Meyer priority-flood (segmentation.hpp:240-468).
+//
+// labels: int64 (nz,ny,nx), fully overwritten.
+//   States: -1 = UNDEFINED, 0 = WATERSHED_BOUNDARY, 1..n = basins.
+// seeds_xyz: (n_seeds, 3) int32 as (ix, iy, iz); seed_scores: raw
+//   image values at the seeds. sign: +1 minima flood, -1 maxima.
+// valid: uint8 mask or nullptr. offs: (n_offs, 3) int32 (dz, dy, dx).
+// Returns 0 on success.
+int64_t visfd_watershed_flood(
+    const float *src, const uint8_t *valid,
+    int64_t nz, int64_t ny, int64_t nx,
+    const int32_t *seeds_xyz, const float *seed_scores, int64_t n_seeds,
+    const int32_t *offs, int64_t n_offs,
+    double sign, double halt_threshold, int32_t show_boundaries,
+    int64_t *labels) {
+  const int64_t UNDEF = -1, BOUNDARY = 0;
+  const int64_t QUEUED = n_seeds + 2;
+  const int64_t n = nz * ny * nx;
+  for (int64_t i = 0; i < n; ++i) labels[i] = UNDEF;
+
+  Heap q;
+  for (int64_t i = 0; i < n_seeds; ++i) {
+    int32_t ix = seeds_xyz[3 * i], iy = seeds_xyz[3 * i + 1],
+            iz = seeds_xyz[3 * i + 2];
+    q.push(QEnt{(double)seed_scores[i] * sign, i, ix, iy, iz});
+    labels[((int64_t)iz * ny + iy) * nx + ix] = QUEUED;
+  }
+
+  while (!q.empty()) {
+    QEnt e = q.top();
+    q.pop();
+    const int64_t at = ((int64_t)e.iz * ny + e.iy) * nx + e.ix;
+    if (e.score > halt_threshold * sign) { labels[at] = UNDEF; continue; }
+    if (valid && !valid[at]) { labels[at] = UNDEF; continue; }
+    labels[at] = e.basin + 1;
+    for (int64_t k = 0; k < n_offs; ++k) {
+      const int64_t z = e.iz + offs[3 * k], y = e.iy + offs[3 * k + 1],
+                    x = e.ix + offs[3 * k + 2];
+      if (!in_bounds(z, y, x, nz, ny, nx)) continue;
+      const int64_t ni = (z * ny + y) * nx + x;
+      if (valid && !valid[ni]) continue;
+      const int64_t nlab = labels[ni];
+      if (nlab == BOUNDARY || nlab == QUEUED) continue;
+      if (nlab == UNDEF) {
+        labels[ni] = QUEUED;
+        q.push(QEnt{(double)src[ni] * sign, e.basin,
+                    (int32_t)x, (int32_t)y, (int32_t)z});
+      } else if (nlab != labels[at] && show_boundaries) {
+        labels[at] = BOUNDARY;
+      }
+    }
+  }
+  return 0;
+}
+
+// LabelConnected flood (connect.hpp:431-809): watershed-like flood
+// with per-voxel discard gates (precomputed on device, passed in) and
+// per-link tensor/vector compatibility gates, merging colliding
+// basins into clusters (union structure) and propagating direction
+// sign standardization.
+//
+// labels: int64 (nz,ny,nx), overwritten; states: basin ids 0..n-1,
+//   UNDEF = n_seeds+1 (left as-is for never-reached voxels), QUEUED
+//   internal.
+// tensor: (nz,ny,nx,6) float or nullptr; vector_: (nz,ny,nx,3) float
+//   or nullptr (both present iff tensor gating is on, matching the
+//   reference's quirk of gating the vector check on the tensor).
+// vec_std: (nz,ny,nx,3) float in/out or nullptr.
+// basin2cluster: int64 (n_seeds) out; basin2polarity: int8 out.
+// Returns 1 if any voxel link was cut due to polarity mismatch.
+int64_t visfd_connect_flood(
+    const float *sal, const uint8_t *valid, const uint8_t *discard,
+    int64_t nz, int64_t ny, int64_t nx,
+    const int32_t *seeds_xyz, const float *seed_scores, int64_t n_seeds,
+    const int32_t *offs, int64_t n_offs,
+    double sign, double threshold_saliency,
+    const float *tensor, const float *vector_,
+    double threshold_tensor_neighbor, double threshold_vector_neighbor,
+    int32_t consider_sign,
+    float *vec_std,
+    int64_t *labels, int64_t *basin2cluster, int8_t *basin2polarity) {
+  const int64_t UNDEF = n_seeds + 1;
+  const int64_t QUEUED = n_seeds + 2;
+  const int64_t n = nz * ny * nx;
+  for (int64_t i = 0; i < n; ++i) labels[i] = UNDEF;
+
+  std::vector<std::vector<int64_t>> cluster2basins((size_t)n_seeds);
+  for (int64_t i = 0; i < n_seeds; ++i) {
+    basin2cluster[i] = i;
+    basin2polarity[i] = 1;
+    cluster2basins[(size_t)i].push_back(i);
+  }
+
+  Heap q;
+  for (int64_t i = 0; i < n_seeds; ++i) {
+    int32_t ix = seeds_xyz[3 * i], iy = seeds_xyz[3 * i + 1],
+            iz = seeds_xyz[3 * i + 2];
+    q.push(QEnt{(double)seed_scores[i] * sign, i, ix, iy, iz});
+    labels[((int64_t)iz * ny + iy) * nx + ix] = QUEUED;
+  }
+
+  bool cut_due_to_polarity = false;
+
+  while (!q.empty()) {
+    QEnt e = q.top();
+    q.pop();
+    const int64_t at = ((int64_t)e.iz * ny + e.iy) * nx + e.ix;
+    if (e.score > threshold_saliency * sign) { labels[at] = UNDEF; continue; }
+    if (valid && !valid[at]) { labels[at] = UNDEF; continue; }
+    if (discard[at]) {
+      labels[at] = UNDEF;
+      if (seeds_xyz[3 * e.basin] == e.ix && seeds_xyz[3 * e.basin + 1] == e.iy
+          && seeds_xyz[3 * e.basin + 2] == e.iz)
+        basin2cluster[e.basin] = -1;
+      continue;
+    }
+    labels[at] = e.basin;
+
+    for (int64_t k = 0; k < n_offs; ++k) {
+      const int64_t z = e.iz + offs[3 * k], y = e.iy + offs[3 * k + 1],
+                    x = e.ix + offs[3 * k + 2];
+      if (!in_bounds(z, y, x, nz, ny, nx)) continue;
+      const int64_t ni = (z * ny + y) * nx + x;
+      if (valid && !valid[ni]) continue;
+
+      // per-link gates (connect.hpp:625-673, incl. the reference's
+      // quirk: the vector check is gated on the tensor being present
+      // and its signed branch uses threshold_tensor_neighbor)
+      if (tensor) {
+        const float *ti = tensor + 6 * at, *tj = tensor + 6 * ni;
+        if (trace_product_quirk(ti, tj)
+            < threshold_tensor_neighbor * frobenius_quirk(ti)
+              * frobenius_quirk(tj))
+          continue;
+        const float *vi = vector_ + 3 * at, *vj = vector_ + 3 * ni;
+        const double dot = (double)vi[0] * vj[0] + (double)vi[1] * vj[1]
+                         + (double)vi[2] * vj[2];
+        const double li2 = (double)vi[0] * vi[0] + (double)vi[1] * vi[1]
+                         + (double)vi[2] * vi[2];
+        const double lj2 = (double)vj[0] * vj[0] + (double)vj[1] * vj[1]
+                         + (double)vj[2] * vj[2];
+        if (consider_sign) {
+          if (dot < threshold_tensor_neighbor * std::sqrt(li2)
+                    * std::sqrt(lj2))
+            continue;
+        } else {
+          if (dot * dot < threshold_vector_neighbor
+                          * threshold_vector_neighbor * li2 * lj2)
+            continue;
+        }
+      }
+
+      const int64_t nlab = labels[ni];
+      if (nlab == QUEUED) continue;
+      if (nlab == UNDEF) {
+        labels[ni] = QUEUED;
+        q.push(QEnt{(double)sal[ni] * sign, e.basin,
+                    (int32_t)x, (int32_t)y, (int32_t)z});
+        if (vec_std) {
+          float *a = vec_std + 3 * at, *b = vec_std + 3 * ni;
+          const double d = (double)a[0] * b[0] + (double)a[1] * b[1]
+                         + (double)a[2] * b[2];
+          if (d < 0.0) { b[0] = -b[0]; b[1] = -b[1]; b[2] = -b[2]; }
+        }
+      } else {
+        const int64_t basin_j = nlab;
+        const int64_t ci = basin2cluster[e.basin];
+        const int64_t cj = basin2cluster[basin_j];
+        bool polarity_match = true;
+        if (vec_std) {
+          const float *a = vec_std + 3 * at, *b = vec_std + 3 * ni;
+          const double d = (double)a[0] * b[0] + (double)a[1] * b[1]
+                         + (double)a[2] * b[2];
+          if (d * basin2polarity[e.basin] * basin2polarity[basin_j] < 0.0)
+            polarity_match = false;
+        }
+        if (ci == cj) {
+          if (!polarity_match) cut_due_to_polarity = true;
+        } else {
+          const int64_t merged = ci < cj ? ci : cj;
+          const int64_t deleted = ci < cj ? cj : ci;
+          for (int64_t b : cluster2basins[(size_t)deleted]) {
+            cluster2basins[(size_t)merged].push_back(b);
+            basin2cluster[b] = merged;
+            if (vec_std && !polarity_match)
+              basin2polarity[b] = (int8_t)(-basin2polarity[b]);
+          }
+          cluster2basins[(size_t)deleted].clear();
+        }
+      }
+    }
+  }
+  return cut_due_to_polarity ? 1 : 0;
+}
+
+}  // extern "C"

@@ -34,12 +34,15 @@ eigenvectors); the ordered flood itself runs on the host like
 
 from __future__ import annotations
 
+import ctypes
 import dataclasses
 import heapq
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax.numpy as jnp
+
+from visfd_tpu import native
 
 from visfd_tpu.features import hessian as H
 from visfd_tpu.linalg import sym3
@@ -189,17 +192,86 @@ def label_connected(
     seed_locs = [flat_to_xyz(int(i), saliency.shape) for i in seed_flat]
 
     UNDEF = n_basins + 1
-    labels = np.full(saliency.shape, UNDEF, np.int64)
-    QUEUED = n_basins + 2
-
-    basin2cluster = np.arange(n_basins, dtype=np.int64)
-    cluster2basins: List[set] = [set([i]) for i in range(n_basins)]
-    basin2polarity = np.ones(n_basins, np.int8)
 
     vec_std = None
     if vector is not None and standardize_vector_sign \
        and not consider_dot_product_sign:
-        vec_std = np.array(vector, np.float32, copy=True)
+        vec_std = np.ascontiguousarray(vector, np.float32).copy()
+
+    lib = native.load()
+    if lib is not None:
+        sal_c = np.ascontiguousarray(saliency, np.float32)
+        valid_c = (None if valid is None
+                   else np.ascontiguousarray(valid, np.uint8))
+        discard_c = np.ascontiguousarray(discard, np.uint8)
+        seeds_c = np.ascontiguousarray(
+            np.asarray(seed_locs, np.int32).reshape(-1, 3))
+        scores_c = np.ascontiguousarray(seed_scores, np.float32)
+        offs_c = np.ascontiguousarray(np.asarray(offs, np.int32))
+        tensor_c = (None if tensor is None
+                    else np.ascontiguousarray(tensor, np.float32))
+        vector_c = (None if tensor is None
+                    else np.ascontiguousarray(vector, np.float32))
+        labels = np.empty(saliency.shape, np.int64)
+        basin2cluster = np.empty(max(n_basins, 1), np.int64)
+        basin2polarity = np.empty(max(n_basins, 1), np.int8)
+        cut = lib.visfd_connect_flood(
+            native.ptr(sal_c, ctypes.c_float),
+            native.ptr(valid_c, ctypes.c_uint8),
+            native.ptr(discard_c, ctypes.c_uint8),
+            nz, ny, nx,
+            native.ptr(seeds_c, ctypes.c_int32),
+            native.ptr(scores_c, ctypes.c_float), n_basins,
+            native.ptr(offs_c, ctypes.c_int32), len(offs),
+            float(sign), float(threshold_saliency),
+            native.ptr(tensor_c, ctypes.c_float),
+            native.ptr(vector_c, ctypes.c_float),
+            float(threshold_tensor_neighbor),
+            float(threshold_vector_neighbor),
+            int(consider_dot_product_sign),
+            native.ptr(vec_std, ctypes.c_float),
+            native.ptr(labels, ctypes.c_int64),
+            native.ptr(basin2cluster, ctypes.c_int64),
+            native.ptr(basin2polarity, ctypes.c_int8))
+        basin2cluster = basin2cluster[:n_basins]
+        basin2polarity = basin2polarity[:n_basins]
+        voxels_cut_due_to_polarity = bool(cut)
+        # rebuild the cluster->basins map (basin2cluster is the source
+        # of truth: merges always keep min(ci, cj))
+        cluster2basins = [set() for _ in range(n_basins)]
+        for b in range(n_basins):
+            c = int(basin2cluster[b])
+            if c >= 0:
+                cluster2basins[c].add(b)
+    else:
+        (labels, basin2cluster, cluster2basins, basin2polarity, vec_std,
+         voxels_cut_due_to_polarity) = _flood_python(
+            saliency, valid, discard, seed_locs, seed_scores, n_basins,
+            offs, sign, threshold_saliency, tensor, vector,
+            threshold_tensor_neighbor, threshold_vector_neighbor,
+            consider_dot_product_sign, vec_std)
+
+    return _finalize_connect(
+        saliency, valid, labels, n_basins, UNDEF, basin2cluster,
+        cluster2basins, basin2polarity, vec_std, seed_locs, mask,
+        must_link, must_link_directions, sort_criteria, voxel_weights,
+        label_undefined, report)
+
+
+def _flood_python(saliency, valid, discard, seed_locs, seed_scores,
+                  n_basins, offs, sign, threshold_saliency, tensor,
+                  vector, threshold_tensor_neighbor,
+                  threshold_vector_neighbor, consider_dot_product_sign,
+                  vec_std):
+    """Pure-Python LabelConnected flood, bit-identical to the native
+    core (``visfd_tpu/native/visfd_native.cpp``)."""
+    nz, ny, nx = saliency.shape
+    UNDEF = n_basins + 1
+    QUEUED = n_basins + 2
+    labels = np.full(saliency.shape, UNDEF, np.int64)
+    basin2cluster = np.arange(n_basins, dtype=np.int64)
+    cluster2basins: List[set] = [set([i]) for i in range(n_basins)]
+    basin2polarity = np.ones(n_basins, np.int8)
 
     q = []
     for i, (ix, iy, iz) in enumerate(seed_locs):
@@ -296,6 +368,18 @@ def label_connected(
                             basin2polarity[b] = -basin2polarity[b]
                     cluster2basins[deleted].clear()
 
+    return (labels, basin2cluster, cluster2basins, basin2polarity,
+            vec_std, voxels_cut_due_to_polarity)
+
+
+def _finalize_connect(saliency, valid, labels, n_basins, UNDEF,
+                      basin2cluster, cluster2basins, basin2polarity,
+                      vec_std, seed_locs, mask, must_link,
+                      must_link_directions, sort_criteria, voxel_weights,
+                      label_undefined, report):
+    """Post-flood host stages: must-link merging, cluster renumbering,
+    polarity application, outward flip, sorting
+    (connect.hpp:829-1426)."""
     # ---- must-link constraints (connect.hpp:829-1045) ----
     if must_link:
         for gi, group in enumerate(must_link):

@@ -17,22 +17,25 @@ Parity with ``Watershed`` (``segmentation.hpp:65-559``):
   minima/maxima sign flip) become ``label_undefined``;
 * with markers, basin ids are remapped back to the marker labels.
 
-This exact sequential semantics runs on the host (heap flood over a
-numpy array) -- segmentation label assignment is an inherently
-ordered computation and the volumes where exact parity matters are
-the small fixture/CI ones. The device-scale path
-(``visfd_tpu.segment.propagate``) provides an iterative
-label-propagation watershed for HBM-resident volumes.
+This exact sequential semantics runs on the host -- segmentation
+label assignment is an inherently ordered computation.  The flood
+itself runs in the native C++ runtime (``visfd_tpu.native``,
+mirroring the reference's compiled flood) with a bit-identical
+pure-Python fallback (``VISFD_NATIVE=0`` forces the fallback).  The
+device-scale path (``visfd_tpu.segment.propagate``) provides an
+iterative label-propagation watershed for HBM-resident volumes.
 """
 
 from __future__ import annotations
 
+import ctypes
 import dataclasses
 import heapq
 from typing import Optional, Tuple
 
 import numpy as np
 
+from visfd_tpu import native
 from visfd_tpu.segment.extrema import find_extrema, neighbor_offsets, flat_to_xyz
 
 WATERSHED_BOUNDARY = 0
@@ -108,6 +111,67 @@ def watershed(
 
     num_basins = len(basin_locs)
 
+    lib = native.load()
+    if lib is not None:
+        src_c = np.ascontiguousarray(source, np.float32)
+        valid_c = (None if valid is None
+                   else np.ascontiguousarray(valid, np.uint8))
+        seeds_c = np.ascontiguousarray(
+            np.asarray(basin_locs, np.int32).reshape(-1, 3))
+        scores_c = np.ascontiguousarray(basin_scores, np.float32)
+        offs_c = np.ascontiguousarray(np.asarray(offs, np.int32))
+        labels = np.empty(source.shape, np.int64)
+        lib.visfd_watershed_flood(
+            native.ptr(src_c, ctypes.c_float),
+            native.ptr(valid_c, ctypes.c_uint8),
+            nz, ny, nx,
+            native.ptr(seeds_c, ctypes.c_int32),
+            native.ptr(scores_c, ctypes.c_float), num_basins,
+            native.ptr(offs_c, ctypes.c_int32), len(offs),
+            float(sign), float(halt_threshold), int(show_boundaries),
+            native.ptr(labels, ctypes.c_int64))
+    else:
+        labels = _flood_python(source, valid, basin_locs, basin_scores,
+                               num_basins, offs, sign, halt_threshold,
+                               show_boundaries)
+
+    if label_boundary != WATERSHED_BOUNDARY:
+        labels[labels == WATERSHED_BOUNDARY] = label_boundary
+    if label_undefined != UNDEFINED:
+        sel = labels == UNDEFINED
+        if valid is not None:
+            sel &= valid
+        labels[sel] = label_undefined
+
+    if markers is not None:
+        # remap basin ids back to user marker labels
+        remap = {}
+        for i, lab in enumerate(marker_labels):
+            remap[i + 1] = lab
+        out = labels.copy()
+        basin_sel = np.ones(labels.shape, bool)
+        basin_sel &= labels != label_boundary
+        basin_sel &= labels != label_undefined
+        if valid is not None:
+            basin_sel &= valid
+        vals = labels[basin_sel]
+        mapped = np.array([remap.get(int(v), label_undefined) for v in vals],
+                          np.int64)
+        out[basin_sel] = mapped
+        labels = out
+
+    return WatershedResult(
+        labels=labels,
+        num_basins=num_basins,
+        basin_locations=np.asarray(basin_locs, np.int64).reshape(-1, 3),
+        basin_scores=np.asarray(basin_scores, np.float32),
+    )
+
+
+def _flood_python(source, valid, basin_locs, basin_scores, num_basins,
+                  offs, sign, halt_threshold, show_boundaries):
+    """Pure-Python Meyer flood, bit-identical to the native core."""
+    nz, ny, nx = source.shape
     labels = np.full(source.shape, UNDEFINED, np.int64)
     QUEUED = num_basins + 2  # internal sentinel distinct from all labels
 
@@ -156,35 +220,4 @@ def watershed(
     # every neighbor; after the first boundary assignment the voxel's
     # label IS boundary, and subsequent neighbors with basin labels
     # differ from it, keeping it boundary -- same result.
-
-    if label_boundary != WATERSHED_BOUNDARY:
-        labels[labels == WATERSHED_BOUNDARY] = label_boundary
-    if label_undefined != UNDEFINED:
-        sel = labels == UNDEFINED
-        if valid is not None:
-            sel &= valid
-        labels[sel] = label_undefined
-
-    if markers is not None:
-        # remap basin ids back to user marker labels
-        remap = {}
-        for i, lab in enumerate(marker_labels):
-            remap[i + 1] = lab
-        out = labels.copy()
-        basin_sel = np.ones(labels.shape, bool)
-        basin_sel &= labels != label_boundary
-        basin_sel &= labels != label_undefined
-        if valid is not None:
-            basin_sel &= valid
-        vals = labels[basin_sel]
-        mapped = np.array([remap.get(int(v), label_undefined) for v in vals],
-                          np.int64)
-        out[basin_sel] = mapped
-        labels = out
-
-    return WatershedResult(
-        labels=labels,
-        num_basins=num_basins,
-        basin_locations=np.asarray(basin_locs, np.int64).reshape(-1, 3),
-        basin_scores=np.asarray(basin_scores, np.float32),
-    )
+    return labels
