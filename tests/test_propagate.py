@@ -1,0 +1,56 @@
+"""Device-scale label-propagation watershed vs the host Meyer flood."""
+
+import numpy as np
+import pytest
+
+from visfd_tpu.segment.propagate import propagate_watershed
+from visfd_tpu.segment.watershed import watershed
+
+
+def _wells(shape=(16, 17, 18), centers=((4, 5, 6), (12, 12, 13)),
+           depths=(2.0, 1.5)):
+    zz, yy, xx = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    out = np.zeros(shape, np.float32)
+    for (cz, cy, cx), d in zip(centers, depths):
+        r2 = (zz - cz) ** 2 + (yy - cy) ** 2 + (xx - cx) ** 2
+        out -= d * np.exp(-r2 / 18.0)
+    return out
+
+
+def test_two_wells_match_host_flood():
+    x = _wells()
+    host = watershed(x, show_boundaries=False)
+    dev = propagate_watershed(x)
+    assert dev.num_basins == host.num_basins == 2
+    np.testing.assert_array_equal(dev.labels, host.labels)
+    np.testing.assert_array_equal(dev.basin_locations, host.basin_locations)
+
+
+@pytest.mark.parametrize("minima", [True, False])
+def test_basin_count_matches_host(minima):
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(12, 13, 14)).astype(np.float32)
+    for ax in range(3):
+        x = (x + np.roll(x, 1, ax) + np.roll(x, -1, ax)) / 3.0
+    mask = rng.random(x.shape) > 0.1
+    host = watershed(x, mask=mask, start_from_minima=minima,
+                     show_boundaries=False)
+    dev = propagate_watershed(x, mask=mask, start_from_minima=minima)
+    assert dev.num_basins == host.num_basins
+    np.testing.assert_array_equal(dev.basin_locations, host.basin_locations)
+    # every in-mask voxel belongs to a basin
+    assert dev.labels[mask].min() >= 1
+    assert dev.labels[mask].max() == dev.num_basins
+    assert (dev.labels[~mask] == -1).all()
+
+
+def test_plateaus_and_halt():
+    # flat-topped wells (quantized) exercise the plateau resolution
+    x = np.round(_wells(depths=(2.0, 2.0)) * 4) / 4
+    host = watershed(x, show_boundaries=False)
+    dev = propagate_watershed(x)
+    assert dev.num_basins == host.num_basins
+    # halt: voxels above the threshold are undefined
+    dev_h = propagate_watershed(x, halt_threshold=-0.5)
+    assert (dev_h.labels[x > -0.5] == -1).all()
+    assert (dev_h.labels[x <= -0.5] >= 1).all()
