@@ -425,6 +425,128 @@ def handle_draw_spheres(s, x_np, mask_np, w):
         foreground_normalize=s.sphere_decals_foreground_norm)
 
 
+def _read_points_vox(s, w):
+    """Coordinate files -> rounded integer voxel coordinates.
+    IMOD-notation (parenthesized) rows are 1-based voxel indices;
+    plain rows are physical units (``handlers_unsupported.cpp:
+    1401-1423``)."""
+    pts = []
+    for fname in s.in_crds_file_names:
+        crds, _, _, in_vox = read_blob_coords_file(fname)
+        if in_vox:
+            crds = crds - 1.0
+        elif w[0] > 0:
+            crds = crds / np.asarray(w)[None, :]
+        pts.append(np.floor(crds + 0.5).astype(np.int64))
+    return (np.concatenate(pts, 0) if pts
+            else np.zeros((0, 3), np.int64))
+
+
+def handle_distance_points(s, x_np, mask_np, w):
+    """``HandleDistanceToPoints``
+    (``handlers_unsupported.cpp:1393-1466``)."""
+    from visfd_tpu.features import experimental as E
+    pts = _read_points_vox(s, w)
+    vw = w[0] if w[0] > 0 else 1.0
+    return E.distance_to_points(x_np.shape, pts, vw, mask=mask_np,
+                                background=x_np)
+
+
+def handle_distance_to_voxels(s, x_np, mask_np, w):
+    """``HandleDistancePointsToFeature``
+    (``handlers_unsupported.cpp:1470-1551``)."""
+    from visfd_tpu.features import experimental as E
+    pts = _read_points_vox(s, w)
+    vw = w[0] if w[0] > 0 else 1.0
+    dists = E.distance_points_to_feature(
+        x_np, pts, s.out_thresh_a_value, s.out_thresh_b_value, vw,
+        mask=mask_np)
+    with open(s.out_distances_file_name, "w") as fh:
+        for d in dists:
+            fh.write(f"{d}\n")
+    return x_np
+
+
+def handle_random_spheres(s, x_np, mask_np, w):
+    """``HandleRandomSpheres``
+    (``handlers_unsupported.cpp:1569-1665``)."""
+    from visfd_tpu.features import experimental as E
+    vw = w[0] if w[0] > 0 else 1.0
+    centers, occ = E.random_spheres(
+        x_np, s.rand_crds_n, s.rand_crds_diameter / vw,
+        s.out_thresh_a_value, s.out_thresh_b_value,
+        seed=s.rand_crds_seed, mask=mask_np)
+    with open(s.out_crds_file_name, "w") as fh:
+        for ix, iy, iz in centers:
+            fh.write(f"{ix * vw} {iy * vw} {iz * vw}\n")
+    return occ
+
+
+def handle_template_gauss(s, x, mask):
+    """``HandleTemplateGauss`` (``handlers_unsupported.cpp:787-1061``):
+    least-squares spherical template amplitude image."""
+    from visfd_tpu.features import experimental as E
+    ratio = s.filter_truncate_ratio if s.filter_truncate_ratio > 0 else 2.5
+    return E.template_gen_gauss(
+        x, s.width_a, s.template_background_radius,
+        m_exp=s.m_exp, n_exp=s.template_background_exponent,
+        mask=mask, truncate_ratio=ratio,
+        normalize_near_boundaries=s.normalize_near_boundaries)
+
+
+def handle_doggxy(s, x, mask):
+    """``HandleDoggXY`` (``handlers_unsupported.cpp:19-160``)."""
+    from visfd_tpu.features import experimental as E
+    ratio = s.filter_truncate_ratio if s.filter_truncate_ratio > 0 else 2.5
+    return E.dogg_xy(x, s.width_a[:2], s.width_b[:2], s.width_a[2],
+                     m_exp=s.m_exp, n_exp=s.n_exp, mask=mask,
+                     truncate_ratio=ratio)
+
+
+def handle_blob_radial_intensity(s, x_np, mask_np, w):
+    """``HandleBlobRadialIntensity``
+    (``handlers_unsupported.cpp:162-455``): per-blob intensity-vs-
+    radius profile files ``<base>_<i>.txt``."""
+    from visfd_tpu.features import experimental as E
+    vw = w[0] if w[0] > 0 else 1.0
+    crds_all, diams_all = [], []
+    for fname in s.in_crds_file_names:
+        crds, diams, _, in_vox = read_blob_coords_file(
+            fname, diameter_override=s.sphere_decals_diameter,
+            score_default=s.sphere_decals_foreground,
+            diameter_factor=s.sphere_decals_scale)
+        if in_vox:
+            crds = crds - 1.0
+        else:
+            crds = crds / vw
+            diams = diams / vw
+        crds_all.append(crds)
+        diams_all.append(diams)
+    crds = np.concatenate(crds_all, 0) if crds_all else np.zeros((0, 3))
+    diams = np.concatenate(diams_all, 0) if diams_all else np.zeros(0)
+    if mask_np is not None and len(crds):
+        keep = []
+        for i, c in enumerate(crds):
+            ix, iy, iz = (int(np.floor(v + 0.5)) for v in c)
+            nzs, nys, nxs = mask_np.shape
+            if 0 <= iz < nzs and 0 <= iy < nys and 0 <= ix < nxs \
+               and mask_np[iz, iy, ix] != 0:
+                keep.append(i)
+        crds, diams = crds[keep], diams[keep]
+    print(f"  creating intensity-vs-radius profiles for {len(crds)} "
+          f"blobs.", file=sys.stderr)
+    for i in range(len(crds)):
+        profile, _ = E.blob_radial_intensity(
+            x_np, crds[i], diams[i],
+            center_criteria=s.blob_profiles_center_criteria,
+            mask=mask_np)
+        fname = f"{s.blob_profiles_file_name_base}_{i + 1}.txt"
+        with open(fname, "w") as fh:
+            for ir, v in enumerate(profile):
+                fh.write(f"{ir * vw} {v}\n")
+    return x_np
+
+
 def handle_tv(s, img, x_np, mask_np, w):
     """``HandleTV`` (``handlers.cpp:1501-2357``)."""
     order = (sym3.EigenOrder.INCREASING if s.ridges_are_maxima
@@ -922,6 +1044,18 @@ def run(argv) -> int:
         out = None
     elif ft == S.DRAW_SPHERES:
         out = handle_draw_spheres(s, x_np, mask_np, w)
+    elif ft == S.DOGGXY:
+        out = handle_doggxy(s, x, mask)
+    elif ft == S.TEMPLATE_GAUSS:
+        out = handle_template_gauss(s, x, mask)
+    elif ft == S.DISTANCE_TO_POINTS:
+        out = handle_distance_points(s, x_np, mask_np, w)
+    elif ft == S.DISTANCE_TO_VOXELS:
+        out = handle_distance_to_voxels(s, x_np, mask_np, w)
+    elif ft == S.RANDOM_SPHERES:
+        out = handle_random_spheres(s, x_np, mask_np, w)
+    elif ft == S.BLOB_RADIAL_INTENSITY:
+        out = handle_blob_radial_intensity(s, x_np, mask_np, w)
     else:
         raise InputError(f"unhandled filter type {ft}")
 

@@ -43,6 +43,13 @@ BLOB = "blob"
 BLOB_NONMAX_SUPPRESSION = "blob_nms"
 BLOB_NONMAX_SUPERVISED_MULTI = "blob_supervised_multi"
 DRAW_SPHERES = "draw_spheres"
+# experimental ops (reference handlers_unsupported.cpp)
+DOGGXY = "doggxy"
+DISTANCE_TO_POINTS = "distance_to_points"
+DISTANCE_TO_VOXELS = "distance_to_voxels"
+RANDOM_SPHERES = "random_spheres"
+TEMPLATE_GAUSS = "template_gauss"
+BLOB_RADIAL_INTENSITY = "blob_radial_intensity"
 
 
 @dataclasses.dataclass
@@ -86,6 +93,14 @@ class Settings:
     template_background_radius: List[float] = dataclasses.field(
         default_factory=lambda: [0.0, 0.0, 0.0])
     template_background_exponent: float = 2.0
+
+    # experimental ops
+    out_distances_file_name: str = ""
+    rand_crds_n: int = 0
+    rand_crds_diameter: float = -1.0
+    rand_crds_seed: int = 0
+    blob_profiles_center_criteria: str = "center"
+    blob_profiles_file_name_base: str = ""
 
     # extrema
     find_minima: bool = False
@@ -626,6 +641,69 @@ def parse_args(argv: List[str]) -> Settings:
                 s.undefined_voxels_are_max = False
                 s.undefined_voxel_brightness = f(1)
             n = 1
+        elif a == "-doggxy":
+            need(3, "needs 3 numbers: a_xy b_xy a_z")
+            s.width_a[0] = s.width_a[1] = f(1)
+            s.width_b[0] = s.width_b[1] = f(2)
+            s.width_a[2] = f(3); s.width_b[2] = -1.0
+            s.filter_type = DOGGXY; n = 3
+        elif a == "-doggxy-aniso":
+            need(5, "needs 5 numbers: a_x a_y b_x b_y a_z")
+            s.width_a[0] = f(1); s.width_a[1] = f(2)
+            s.width_b[0] = f(3); s.width_b[1] = f(4)
+            s.width_a[2] = f(5); s.width_b[2] = -1.0
+            s.filter_type = DOGGXY; n = 5
+        elif a == "-distance-points":
+            need(1, "needs a file name")
+            s.filter_type = DISTANCE_TO_POINTS
+            s.in_crds_file_names.append(args[i + 1]); n = 1
+        elif a == "-distance-to-voxels":
+            need(4, "needs InFile OutFile SelectMin SelectMax")
+            s.filter_type = DISTANCE_TO_VOXELS
+            s.in_crds_file_names.append(args[i + 1])
+            s.out_distances_file_name = args[i + 2]
+            s.out_thresh_a_value = f(3); s.out_thresh_b_value = f(4); n = 4
+        elif a == "-random-spheres":
+            need(6, "needs FILE Npoints diameter SelectMin SelectMax seed")
+            s.filter_type = RANDOM_SPHERES
+            s.out_crds_file_name = args[i + 1]
+            s.rand_crds_n = int(args[i + 2])
+            s.rand_crds_diameter = f(3)
+            s.out_thresh_a_value = f(4); s.out_thresh_b_value = f(5)
+            s.rand_crds_seed = int(args[i + 6])
+            if not (s.rand_crds_n > 0 and s.rand_crds_diameter > 0):
+                raise InputError("-random-spheres: Npoints and diameter "
+                                 "must be positive")
+            n = 6
+        elif a in ("-template-gauss", "-template-gaussian"):
+            need(2, "needs template_radius background_radius")
+            s.filter_type = TEMPLATE_GAUSS
+            s.masked_voxel_brightness = 0.0
+            s.specify_masked_brightness = True
+            s.width_a = [f(1)] * 3
+            s.template_background_radius = [f(2)] * 3; n = 2
+        elif a == "-template-gauss-aniso":
+            need(6, "needs a_x a_y a_z bg_x bg_y bg_z")
+            s.filter_type = TEMPLATE_GAUSS
+            s.masked_voxel_brightness = 0.0
+            s.specify_masked_brightness = True
+            s.width_a = [f(1), f(2), f(3)]
+            s.template_background_radius = [f(4), f(5), f(6)]; n = 6
+        elif a == "-blob-intensity-vs-radius":
+            need(3, "needs CENTER_TYPE input_coords_file output_base")
+            kind = args[i + 1]
+            if kind in ("min", "minima"):
+                s.blob_profiles_center_criteria = "min"
+            elif kind in ("max", "maxima"):
+                s.blob_profiles_center_criteria = "max"
+            elif kind in ("center", "cen"):
+                s.blob_profiles_center_criteria = "center"
+            else:
+                raise InputError("-blob-intensity-vs-radius CENTER_TYPE "
+                                 "must be min, max, or center")
+            s.in_crds_file_names.append(args[i + 2])
+            s.blob_profiles_file_name_base = args[i + 3]
+            s.filter_type = BLOB_RADIAL_INTENSITY; n = 3
         elif a == "-normalize-near-boundaries":
             s.normalize_near_boundaries = True
         elif a == "-no-normalize-near-boundaries":
