@@ -175,6 +175,7 @@ class Settings:
     sphere_decals_shell_thickness: float = 1.0
     sphere_decals_shell_thickness_is_ratio: bool = True
     sphere_decals_shell_thickness_min: float = 1.0
+    user_set_thickness_manually: bool = False
 
     # watershed / connect
     watershed_threshold: float = np.inf
@@ -276,10 +277,10 @@ def parse_args(argv: List[str]) -> Settings:
             need(1, "needs the Gaussian width")
             s.width_a = [f(1)] * 3; s.width_b = [-1.0] * 3
             s.filter_type = GGAUSS if a == "-ggauss" else GAUSS; n = 1
-        elif a == "-gauss-aniso":
+        elif a in ("-gauss-aniso", "-ggauss-aniso"):
             need(3, "needs 3 args")
             s.width_a = [f(1), f(2), f(3)]; s.width_b = [-1.0] * 3
-            s.filter_type = GAUSS; n = 3
+            s.filter_type = GGAUSS if a == "-ggauss-aniso" else GAUSS; n = 3
         elif a in ("-dog", "-dogg"):
             need(2, "needs 2 positive numbers")
             s.width_a = [f(1)] * 3; s.width_b = [f(2)] * 3
@@ -288,6 +289,11 @@ def parse_args(argv: List[str]) -> Settings:
             need(6, "needs 6 args")
             s.width_a = [f(1), f(2), f(3)]; s.width_b = [f(4), f(5), f(6)]
             s.filter_type = DOG; n = 6
+        elif a == "-log-aniso":
+            need(3, "needs 3 positive numbers")
+            s.log_width = [f(1), f(2), f(3)]
+            s.m_exp = 2.0; s.n_exp = 2.0
+            s.filter_type = LOG_DOG; n = 3
         elif a in ("-log", "-log-d", "-log-r"):
             need(1, "needs 1 arg")
             w = f(1)
@@ -313,7 +319,7 @@ def parse_args(argv: List[str]) -> Settings:
         elif a == "-truncate":
             need(1, "needs 1 arg")
             s.filter_truncate_ratio = f(1); s.filter_truncate_threshold = -1.0; n = 1
-        elif a == "-truncate-threshold":
+        elif a in ("-truncate-threshold", "-truncate-thresold"):
             need(1, "needs 1 arg")
             s.filter_truncate_threshold = f(1); s.filter_truncate_ratio = -1.0; n = 1
         elif a in ("-fluct", "-fluctuation", "-fluctuations"):
@@ -322,7 +328,8 @@ def parse_args(argv: List[str]) -> Settings:
             s.masked_voxel_brightness = 0.0
             s.specify_masked_brightness = True
             s.template_background_radius = [f(1)] * 3; n = 1
-        elif a == "-fluct-aniso":
+        elif a in ("-fluct-aniso", "-fluctuation-aniso",
+                   "-fluctuations-aniso"):
             need(3, "needs 3 args")
             s.filter_type = LOCAL_FLUCTUATIONS
             s.template_background_radius = [f(1), f(2), f(3)]; n = 3
@@ -336,19 +343,19 @@ def parse_args(argv: List[str]) -> Settings:
             s.find_maxima_file_name = args[i + 1]; n = 1
         elif a == "-neighbor-connectivity":
             need(1, "needs 1 arg"); s.neighbor_connectivity = int(args[i + 1]); n = 1
-        elif a in ("-minima-threshold", "-min-threshold"):
+        elif a in ("-minima-threshold", "-min-threshold", "-score-upper-bound"):
             need(1, "needs 1 arg")
             s.score_upper_bound = f(1); s.score_bounds_are_ratios = False; n = 1
-        elif a in ("-maxima-threshold", "-max-threshold"):
+        elif a in ("-maxima-threshold", "-max-threshold", "-score-lower-bound"):
             need(1, "needs 1 arg")
             s.score_lower_bound = f(1); s.score_bounds_are_ratios = False; n = 1
-        elif a in ("-minima-ratio",):
+        elif a in ("-minima-ratio", "-score-lower-bound-ratio"):
             need(1, "needs 1 arg")
             s.score_upper_bound = f(1); s.score_bounds_are_ratios = True; n = 1
-        elif a in ("-maxima-ratio",):
+        elif a in ("-maxima-ratio", "-score-upper-bound-ratio"):
             need(1, "needs 1 arg")
             s.score_lower_bound = f(1); s.score_bounds_are_ratios = True; n = 1
-        elif a in ("-blob", "-blob-d", "-blob-diameters", "-blob-s",
+        elif a in ("-blob", "-blobs", "-blob-d", "-blob-diameters", "-blob-s",
                    "-blob-sigma", "-blob-r", "-blob-radii", "-blobr"):
             need(5, "needs type, file, and 3 numbers")
             kind = args[i + 1]
@@ -390,18 +397,22 @@ def parse_args(argv: List[str]) -> Settings:
         elif a == "-blob-aspect-ratio":
             need(3, "needs 3 args")
             s.blob_aspect_ratio = (f(1), f(2), f(3)); n = 3
-        elif a == "-blob-separation":
+        elif a in ("-blob-separation", "-radial-separation",
+                   "-blob-r-separation", "-blobr-separation",
+                   "-spheres-nonmax-separation-radius"):
             need(1, "needs 1 arg")
             s.nonmax_min_radial_separation_ratio = f(1); n = 1
-        elif a in ("-max-volume-overlap",):
+        elif a in ("-max-volume-overlap", "-max-overlap",
+                   "-spheres-nonmax-overlap"):
             need(1, "needs 1 arg")
             s.nonmax_max_volume_overlap_large = f(1)
             s.nonmax_min_radial_separation_ratio = 0.0; n = 1
-        elif a in ("-max-volume-overlap-small",):
+        elif a in ("-max-volume-overlap-small", "-max-overlap-small",
+                   "-spheres-nonmax-overlap-small"):
             need(1, "needs 1 arg")
             s.nonmax_max_volume_overlap_small = f(1)
             s.nonmax_min_radial_separation_ratio = 0.0; n = 1
-        elif a == "-discard-blobs":
+        elif a in ("-discard-blobs", "-blob-nonmax", "-blobs-nonmax"):
             need(2, "needs 2 file names")
             s.in_crds_file_names = [args[i + 1]]
             s.out_crds_file_name = args[i + 2]
@@ -419,11 +430,21 @@ def parse_args(argv: List[str]) -> Settings:
             need(1, "needs a file name")
             s.supervised_multi_fname = args[i + 1]
             s.filter_type = BLOB_NONMAX_SUPERVISED_MULTI; n = 1
-        elif a == "-draw-spheres":
+        elif a in ("-draw-spheres", "-spheres"):
             need(1, "needs a file name")
             s.in_crds_file_names = [args[i + 1]]
             s.filter_type = DRAW_SPHERES; n = 1
-        elif a in ("-diameters", "-diameter", "-sphere-diameters"):
+        elif a == "-draw-hollow-spheres":
+            need(1, "needs a file name")
+            s.in_crds_file_names = [args[i + 1]]
+            s.filter_type = DRAW_SPHERES
+            if not s.user_set_thickness_manually:
+                s.sphere_decals_shell_thickness = 0.05
+                s.sphere_decals_shell_thickness_is_ratio = True
+                s.sphere_decals_shell_thickness_min = 1.0
+            n = 1
+        elif a in ("-diameters", "-diameter", "-sphere-diameters",
+                   "-sphere-diameter"):
             need(1, "needs 1 arg")
             s.sphere_decals_diameter = f(1)
             s.sphere_decals_diameter_in_voxels = False; n = 1
@@ -431,9 +452,15 @@ def parse_args(argv: List[str]) -> Settings:
             need(1, "needs 1 arg")
             s.sphere_decals_diameter = f(1) * 2.0
             s.sphere_decals_diameter_in_voxels = False; n = 1
-        elif a in ("-radii-voxels", "-sphere-radii-voxels"):
+        elif a in ("-radii-voxels", "-sphere-radii-voxels",
+                   "-radius-voxels", "-sphere-radius-voxels"):
             need(1, "needs 1 arg")
             s.sphere_decals_diameter = f(1) * 2.0
+            s.sphere_decals_diameter_in_voxels = True; n = 1
+        elif a in ("-diameter-voxels", "-diameters-voxels",
+                   "-sphere-diameter-voxels", "-sphere-diameters-voxels"):
+            need(1, "needs 1 arg")
+            s.sphere_decals_diameter = f(1)
             s.sphere_decals_diameter_in_voxels = True; n = 1
         elif a in ("-foreground", "-spheres-foreground", "-sphere-foreground"):
             need(1, "needs 1 arg")
@@ -443,7 +470,8 @@ def parse_args(argv: List[str]) -> Settings:
             need(1, "needs 1 arg")
             s.sphere_decals_background_scale = 0.0
             s.sphere_decals_background = f(1); n = 1
-        elif a in ("-background-scale",):
+        elif a in ("-background-scale", "-spheres-background-scale",
+                   "-sphere-background-scale"):
             need(1, "needs 1 arg")
             s.sphere_decals_background_scale = f(1); n = 1
         elif a == "-background-auto":
@@ -451,15 +479,28 @@ def parse_args(argv: List[str]) -> Settings:
             s.sphere_decals_background_scale = 0.3
         elif a in ("-spheres-normalize", "-sphere-normalize"):
             s.sphere_decals_foreground_norm = True
+        elif a in ("-spheres01", "-spheres-01", "-sphere01", "-sphere-01"):
+            s.sphere_decals_foreground_norm = False
+        elif a in ("-spheres-score", "-sphere-score"):
+            s.sphere_decals_foreground_use_score = True
         elif a in ("-sphere-shell-ratio", "-spheres-shell-ratio",
                    "-shell-ratio"):
             need(1, "needs 1 arg")
             s.sphere_decals_shell_thickness_is_ratio = True
             s.sphere_decals_shell_thickness = f(1); n = 1
-        elif a in ("-sphere-shell-thickness", "-spheres-shell-thickness"):
+        elif a in ("-sphere-shell-thickness", "-spheres-shell-thickness",
+                   "-sphere-shell-thicknesses", "-spheres-shell-thicknesses"):
             need(1, "needs 1 arg")
             s.sphere_decals_shell_thickness_is_ratio = False
-            s.sphere_decals_shell_thickness = f(1); n = 1
+            s.sphere_decals_shell_thickness = f(1)
+            s.user_set_thickness_manually = True; n = 1
+        elif a in ("-sphere-shell-thickness-min",
+                   "-sphere-shell-thicknesses-min",
+                   "-spheres-shell-thickness-min",
+                   "-spheres-shell-thicknesses-min"):
+            need(1, "needs 1 arg")
+            s.sphere_decals_shell_thickness_min = f(1)
+            s.user_set_thickness_manually = True; n = 1
         elif a in ("-spheres-scale", "-sphere-scale"):
             need(1, "needs 1 arg"); s.sphere_decals_scale = f(1); n = 1
         elif a == "-watershed":
@@ -566,7 +607,7 @@ def parse_args(argv: List[str]) -> Settings:
             need(1, "needs 1 arg"); s.tv_exponent = int(args[i + 1]); n = 1
         elif a == "-tv-truncate-ratio":
             need(1, "needs 1 arg"); s.tv_truncate_ratio = f(1); n = 1
-        elif a in ("-tv-best", "-best-visible"):
+        elif a in ("-tv-best", "-best-visible", "-best"):
             need(1, "needs 1 arg")
             s.hessian_score_threshold = f(1)
             s.hessian_score_threshold_is_a_fraction = True
@@ -628,7 +669,19 @@ def parse_args(argv: List[str]) -> Settings:
             s.use_intensity_map = True; s.use_rescale_multiply = True
             s.out_rescale_multiply = f(1); s.out_rescale_offset = f(2); n = 2
         elif a == "-rescale-min-max":
+            # reference form: -rescale-min-max outA outB (min->outA,
+            # max->outB per doc_filter_mrc.md:1945; the reference's
+            # parser swaps the two by mistake -- we follow the doc).
+            # Bare form defaults to [0, 1].
             s.rescale_min_max_out = True
+            consumed = 0
+            try:
+                s.out_rescale_min = f(1)
+                s.out_rescale_max = f(2)
+                consumed = 2
+            except (InputError, IndexError, ValueError):
+                s.out_rescale_min, s.out_rescale_max = 0.0, 1.0
+            n = consumed
         elif a == "-rescale-min-max-in":
             s.rescale_min_max_in = True
         elif a == "-np":
@@ -640,6 +693,134 @@ def parse_args(argv: List[str]) -> Settings:
             else:
                 s.undefined_voxels_are_max = False
                 s.undefined_voxel_brightness = f(1)
+            n = 1
+        elif a in ("-outf", "-out-force"):
+            need(1, "needs a file name")
+            s.out_file_name = args[i + 1]; n = 1
+        elif a == "-normalize-filters":
+            need(1, 'needs "yes" or "no"')
+            if args[i + 1] == "yes":
+                s.normalize_near_boundaries = True
+            elif args[i + 1] == "no":
+                s.normalize_near_boundaries = False
+            else:
+                raise InputError('-normalize-filters needs "yes" or "no"')
+            n = 1
+        elif a in ("-dilation-binary-soft", "-dilate-binary-soft",
+                   "-erosion-binary-soft", "-erode-binary-soft"):
+            need(3, "needs r rmax bmax")
+            s.morphology_r = f(1)
+            s.morphology_rmax = f(2)
+            s.morphology_bmax = f(3)
+            s.filter_type = (DILATION if a.startswith(("-dilat", "-dila"))
+                             else EROSION)
+            n = 3
+        elif a in ("-dilation-gauss", "-dilate-gauss",
+                   "-erosion-gauss", "-erode-gauss"):
+            # Gaussian blur followed by a threshold at 1-erf(1) (dilate)
+            # or erf(1) (erode): soft morphology
+            # (settings.cpp:807-839)
+            need(1, "needs the blur distance")
+            s.filter_type = GAUSS
+            s.width_a = [f(1)] * 3
+            s.use_intensity_map = True
+            if a in ("-dilation-gauss", "-dilate-gauss"):
+                s.in_threshold_01_a = 0.1572992070502851
+            else:
+                s.in_threshold_01_a = 0.8427007929497149
+            s.in_threshold_01_b = s.in_threshold_01_a
+            n = 1
+        elif a == "-fill":
+            need(1, "needs a number")
+            s.use_intensity_map = True
+            s.use_rescale_multiply = True
+            s.out_rescale_multiply = 0.0
+            s.out_rescale_offset = f(1); n = 1
+        elif a in ("-thresh-range", "-thresh-range-out"):
+            need(2, "needs 2 numbers: outA outB")
+            s.out_thresh_a_value = f(1)
+            s.out_thresh_b_value = f(2); n = 2
+        elif a in ("-no-rescale", "-norescale"):
+            s.rescale_min_max_out = False
+            s.in_threshold_01_a = 1.0
+            s.in_threshold_01_b = 1.0
+        elif a == "-dog-delta":
+            need(1, "needs 1 positive number")
+            s.delta_sigma_over_sigma = f(1); n = 1
+        elif a in ("-exponents", "-gdog-exponents"):
+            need(2, "needs 2 positive numbers")
+            s.m_exp = f(1); s.n_exp = f(2)
+            s.template_background_exponent = s.n_exp; n = 2
+        elif a in ("-exponent", "-gauss-exponent"):
+            need(1, "needs 1 positive number")
+            s.m_exp = f(1); s.n_exp = s.m_exp
+            s.template_background_exponent = s.n_exp; n = 1
+        elif a in ("-spheres-nonmax-radii-range",
+                   "-sphere-nonmax-radii-range"):
+            need(2, "needs 2 numbers")
+            s.sphere_diameters_lower_bound = f(1)
+            s.sphere_diameters_upper_bound = f(2); n = 2
+        elif a in ("-spheres-nonmax-score-range",
+                   "-sphere-nonmax-score-range"):
+            need(2, "needs 2 numbers")
+            s.score_lower_bound = f(1)
+            s.score_upper_bound = f(2)
+            s.score_bounds_are_ratios = False; n = 2
+        elif a == "-boundary-extrema":
+            s.extrema_on_boundary = True
+        elif a == "-ignore-boundary-extrema":
+            s.extrema_on_boundary = False
+        elif a in ("-surface", "-planar"):
+            raise InputError(f"Error: The {a} argument has been renamed. "
+                             'It is now called "-membrane".')
+        elif a == "--membrane-normals-file":
+            raise InputError("Error: This argument has been renamed. "
+                             'It is now called "-normals-file".')
+        elif a == "-planar-tv":
+            raise InputError("Error: This argument has been renamed. "
+                             'It is now called "-tv".')
+        elif a in ("-detection-background", "-membrane-background",
+                   "-curve-background"):
+            # pre-subtract a wide-Gaussian background before Hessian
+            # analysis (settings.cpp:2802-2824; sets SURFACE_RIDGE
+            # like the reference)
+            need(1, "needs the background Gaussian width")
+            s.filter_type = SURFACE_RIDGE
+            s.width_b = [f(1)] * 3; n = 1
+        elif a == "-detection-threshold":
+            need(1, "needs 1 number")
+            s.hessian_score_threshold = f(1)
+            s.hessian_score_threshold_is_a_fraction = False; n = 1
+        elif a in ("-max-distance-to-feature", "-max-distance-to-surface",
+                   "-max-distance-to-membrane", "-max-distance-to-edge",
+                   "-max-distance-to-curve"):
+            need(1, "needs a positive number")
+            if args[i + 1] in ("inf", "infinity", "disable"):
+                s.max_distance_to_feature = 0.0
+            else:
+                # stored negative: physical units, flipped to voxels by
+                # the driver (filter_mrc.cpp:3012-3030)
+                s.max_distance_to_feature = -f(1)
+            n = 1
+        elif a in ("-max-voxels-to-feature", "-max-voxels-to-surface",
+                   "-max-voxels-to-membrane", "-max-voxels-to-edge",
+                   "-max-voxels-to-curve"):
+            need(1, "needs a positive number")
+            if args[i + 1] in ("inf", "infinity", "disable"):
+                s.max_distance_to_feature = 0.0
+            else:
+                s.max_distance_to_feature = f(1)
+            n = 1
+        elif a in ("-mask-crds-units", "-mask-coords-units",
+                   "-mask-coordinates-units", "-mask-rect-units"):
+            need(1, 'needs "voxels" or "distance"')
+            if args[i + 1] == "voxels":
+                s.is_mask_crds_in_voxels = True
+            elif args[i + 1] in ("distance", "physical", "angstroms",
+                                 "nm", "nanometers"):
+                s.is_mask_crds_in_voxels = False
+            else:
+                raise InputError(f"{a} needs \"voxels\" or \"distance\"")
             n = 1
         elif a == "-doggxy":
             need(3, "needs 3 numbers: a_xy b_xy a_z")
@@ -689,7 +870,14 @@ def parse_args(argv: List[str]) -> Settings:
             s.specify_masked_brightness = True
             s.width_a = [f(1), f(2), f(3)]
             s.template_background_radius = [f(4), f(5), f(6)]; n = 6
-        elif a == "-blob-intensity-vs-radius":
+        elif a in ("-max-overlap-radial", "-spheres-nonmax-overlap-radial"):
+            need(1, "needs 1 number")
+            s.nonmax_min_radial_separation_ratio = 1.0 - f(1); n = 1
+        elif a == "-bs":
+            raise InputError(
+                "Error: bootstrapping (-bs) is disabled in the reference "
+                "(DISABLE_BOOTSTRAPPING) and not supported here.")
+        elif a in ("-blob-intensity-vs-radius", "-blob-radial-intensity"):
             need(3, "needs CENTER_TYPE input_coords_file output_base")
             kind = args[i + 1]
             if kind in ("min", "minima"):
