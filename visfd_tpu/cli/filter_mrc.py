@@ -549,6 +549,8 @@ def handle_blob_radial_intensity(s, x_np, mask_np, w):
 
 def handle_tv(s, img, x_np, mask_np, w):
     """``HandleTV`` (``handlers.cpp:1501-2357``)."""
+    from visfd_tpu.utils import Report, stage
+    rep = Report(sys.stderr)
     order = (sym3.EigenOrder.INCREASING if s.ridges_are_maxima
              else sym3.EigenOrder.DECREASING)
     sigma = s.width_a[0]
@@ -563,10 +565,11 @@ def handle_tv(s, img, x_np, mask_np, w):
             x, s.width_b[0], mask=mask, truncate_halfwidth=(hw,) * 3,
             normalize=s.normalize_near_boundaries))
 
-    grad, hess = FH.calc_hessian(x, sigma, mask=mask, truncate_ratio=tr)
-    eivals, evects = sym3.diagonalize_sym3(sym3.flat_to_full(hess),
-                                           order=order)
-    grad_np = np.asarray(grad)
+    with stage("gaussian blur + hessian + eigendecomposition", rep):
+        grad, hess = FH.calc_hessian(x, sigma, mask=mask, truncate_ratio=tr)
+        eivals, evects = sym3.diagonalize_sym3(sym3.flat_to_full(hess),
+                                               order=order)
+        grad_np = np.asarray(grad)
     if s.filter_type == S.CURVE:
         score = np.asarray(FH.score_hessian_linear(eivals))
     elif s.filter_type == S.SURFACE_EDGE:
@@ -601,14 +604,15 @@ def handle_tv(s, img, x_np, mask_np, w):
     vote = None
     if s.tv_sigma > 0:
         if not s.load_intermediate_fname_base:
-            vote = np.asarray(TV.tv_dense_stick(
-                jnp.asarray(score.astype(np.float32)),
-                jnp.asarray(direction.astype(np.float32)),
-                s.tv_sigma, exponent=s.tv_exponent,
-                mask_src=mask, mask_dest=mask,
-                detect_curves=(s.filter_type == S.CURVE),
-                truncate_ratio=s.tv_truncate_ratio,
-                normalize=False))
+            with stage("dense stick tensor voting", rep):
+                vote = np.asarray(TV.tv_dense_stick(
+                    jnp.asarray(score.astype(np.float32)),
+                    jnp.asarray(direction.astype(np.float32)),
+                    s.tv_sigma, exponent=s.tv_exponent,
+                    mask_src=mask, mask_dest=mask,
+                    detect_curves=(s.filter_type == S.CURVE),
+                    truncate_ratio=s.tv_truncate_ratio,
+                    normalize=False))
         else:
             chans = []
             for d in range(6):
