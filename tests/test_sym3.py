@@ -113,3 +113,21 @@ def test_flat_eigenvectors_unpack(rng):
     mv = np.einsum("nij,nkj->nki", m, vects)
     lv = vals[..., None] * vects
     np.testing.assert_allclose(mv, lv, atol=5e-3)
+
+
+def test_principal_sym3_matches_full_solver():
+    import jax
+    import jax.numpy as jnp
+    from visfd_tpu.linalg import sym3
+
+    rng = np.random.default_rng(42)
+    m6 = rng.normal(size=(3000, 6)).astype(np.float32)
+    mat = sym3.flat_to_full(jnp.asarray(m6))
+    for order in (sym3.EigenOrder.DECREASING, sym3.EigenOrder.INCREASING):
+        ev_f, vec_f = sym3.diagonalize_sym3(mat, order=order)
+        ev_p, v1 = sym3.principal_sym3(mat, order=order)
+        np.testing.assert_allclose(np.asarray(ev_f), np.asarray(ev_p),
+                                   atol=2e-5, rtol=1e-5)
+        dots = np.abs(np.einsum("nd,nd->n",
+                                np.asarray(vec_f)[:, 0, :], np.asarray(v1)))
+        assert dots.min() > 0.9999

@@ -567,8 +567,10 @@ def handle_tv(s, img, x_np, mask_np, w):
 
     with stage("gaussian blur + hessian + eigendecomposition", rep):
         grad, hess = FH.calc_hessian(x, sigma, mask=mask, truncate_ratio=tr)
-        eivals, evects = sym3.diagonalize_sym3(sym3.flat_to_full(hess),
-                                               order=order)
+        # the handler consumes eivals and the principal eigenvector
+        # only (handlers.cpp:1645-1746) -> fast single-vector solver
+        eivals, ev1 = sym3.principal_sym3(sym3.flat_to_full(hess),
+                                          order=order)
         grad_np = np.asarray(grad)
     if s.filter_type == S.CURVE:
         score = np.asarray(FH.score_hessian_linear(eivals))
@@ -583,7 +585,7 @@ def handle_tv(s, img, x_np, mask_np, w):
 
     direction = grad_np
     if s.filter_type != S.SURFACE_EDGE:
-        direction = np.asarray(evects)[..., 0, :]
+        direction = np.asarray(ev1)
         if mask_np is not None:
             direction = direction * (mask_np != 0)[..., None]
 
@@ -648,10 +650,10 @@ def handle_tv(s, img, x_np, mask_np, w):
 
     if s.cluster_connected_voxels and vote is not None:
         # directions <- principal eigenvector of vote tensor
-        _, vevects = sym3.diagonalize_sym3(
+        _, vev1 = sym3.principal_sym3(
             sym3.flat_to_full(jnp.asarray(vote.astype(np.float32))),
             order=order)
-        direction = np.asarray(vevects)[..., 0, :]
+        direction = np.asarray(vev1)
         res = label_connected(
             score.astype(np.float32), mask=mask_np,
             threshold_saliency=s.connect_threshold_saliency,

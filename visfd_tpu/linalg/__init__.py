@@ -1,6 +1,7 @@
 from visfd_tpu.linalg.sym3 import (  # noqa: F401
     EigenOrder,
     diagonalize_sym3,
+    principal_sym3,
     diagonalize_flat_sym3,
     undiagonalize_flat_sym3,
     flat_to_full,

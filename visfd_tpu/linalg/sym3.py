@@ -218,6 +218,43 @@ def diagonalize_sym3(
     return eivals, eivects
 
 
+@functools.partial(jax.jit, static_argnames=("order",))
+def principal_sym3(
+    mat: jax.Array,
+    order: EigenOrder = EigenOrder.DECREASING,
+):
+    """Eigenvalues + ONLY the principal (first-in-order) eigenvector.
+
+    Fast path for the membrane/curve pipeline, which consumes
+    ``eivals`` and ``eivects[..., 0, :]`` and never the other two rows
+    (``handlers.cpp:1645-1746``): one kernel extraction instead of the
+    full solver's two extractions + degenerate blend + cross.  Agrees
+    with ``diagonalize_sym3`` everywhere the principal eigenvalue is
+    simple; where it is (near-)degenerate the feature scores built
+    from it vanish, so downstream results match.
+
+    Returns (eivals (..., 3) in `order`, v1 (..., 3)).
+    """
+    if order not in (EigenOrder.INCREASING, EigenOrder.DECREASING):
+        raise ValueError("principal_sym3 supports INCREASING/DECREASING")
+    dtype = mat.dtype
+    eye = jnp.eye(3, dtype=dtype)
+    shift = (mat[..., 0, 0] + mat[..., 1, 1] + mat[..., 2, 2]) / 3.0
+    scaled = mat - shift[..., None, None] * eye
+    scale = jnp.max(jnp.abs(scaled), axis=(-2, -1))
+    safe = jnp.where(scale > 0, scale, 1.0)
+    scaled = scaled / safe[..., None, None]
+
+    vals = _compute_roots3(scaled)  # increasing
+    lam_p = vals[..., 2] if order == EigenOrder.DECREASING else vals[..., 0]
+    v1, _ = _extract_kernel3(scaled - lam_p[..., None, None] * eye)
+
+    vals = vals * safe[..., None] + shift[..., None]
+    if order == EigenOrder.DECREASING:
+        vals = vals[..., ::-1]
+    return vals, v1
+
+
 def matrix_to_quaternion(m: jax.Array) -> jax.Array:
     """Rotation matrix -> quaternion [w, x, y, z], 4-branch select
     (``lin3_utils.hpp:231-269``)."""

@@ -162,13 +162,12 @@ def make_membrane_step(
         grad, hess = _local_gradient_hessian(blur, z_name, y_name)
         grad = grad * sigma
         hess = hess * (sigma * sigma)
-        eivals, evects = sym3.diagonalize_sym3(
+        eivals, direction = sym3.principal_sym3(
             sym3.flat_to_full(hess), order=sym3.EigenOrder.DECREASING)
         l1, l2 = eivals[..., 0], eivals[..., 1]
         nrm = l1 * l1 - l2 * l2
         saliency = nrm * nrm
         saliency = jnp.where(saliency < saliency_threshold, 0.0, saliency)
-        direction = evects[..., 0, :]
         vote = _sharded_tv(saliency, direction, tv_hw, w_t, rhat_t, off_t,
                            tv_exponent, z_name, y_name)
         vvals, _ = sym3.diagonalize_sym3(
