@@ -1,0 +1,134 @@
+"""Golden parity against the compiled C++ reference.
+
+``tests/golden/`` holds outputs produced by the reference
+``filter_mrc`` built with ``setup_gcc.sh`` (``-O3 -DNDEBUG -fopenmp``)
+on the reference's own checked-in fixtures (see each test for the
+exact command line).  These lock in the BASELINE parity targets:
+
+* label-valued outputs (extrema lists/images, watershed basins,
+  connected clusters, grayscale morphology) are **bit-exact**;
+* float convolution outputs agree to f32 summation roundoff
+  (different but equally-valid accumulation orders);
+* blob lists match in count and coordinates exactly, scores to
+  conv roundoff.
+
+Regenerate with::
+
+    cp -r /root/reference /tmp/visfd_build
+    cd /tmp/visfd_build && source setup_gcc.sh && make
+    # then the per-test command lines below
+"""
+
+import pathlib
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from visfd_tpu.io import read_mrc
+
+GOLDEN = pathlib.Path(__file__).parent / "golden"
+FIX = pathlib.Path("/root/reference/tests/test_blob_detect.rec")
+MEM = pathlib.Path("/root/reference/tests/test_image_membrane.rec")
+
+pytestmark = pytest.mark.skipif(not FIX.exists(),
+                                reason="reference fixtures not available")
+
+
+def run_cli(args):
+    r = subprocess.run(
+        [sys.executable, "-m", "visfd_tpu.cli.filter_mrc"] + args,
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    return r
+
+
+def _img(path):
+    return read_mrc(str(path)).data
+
+
+@pytest.mark.parametrize("name,args,exact", [
+    # filter_mrc -in FIX -out ref_gauss.mrc -gauss 2 -w 1
+    ("gauss", ["-gauss", "2"], False),
+    # filter_mrc -in FIX -out ref_dog.mrc -dog 2 4 -w 1
+    ("dog", ["-dog", "2", "4"], False),
+    # filter_mrc -in FIX -out ref_erode.mrc -erode 2 -w 1
+    ("erode", ["-erode", "2"], True),
+])
+def test_filter_golden(tmp_path, name, args, exact):
+    out = tmp_path / "out.mrc"
+    run_cli(["-in", str(FIX), "-out", str(out), "-w", "1"] + args)
+    ref = _img(GOLDEN / f"ref_{name}.mrc")
+    ours = _img(out)
+    if exact:
+        np.testing.assert_array_equal(ours, ref)
+    else:
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(ours, ref, atol=2e-5 * scale)
+
+
+def test_find_minima_golden(tmp_path):
+    # filter_mrc -in FIX -out ref_min.mrc -find-minima ref_min.txt -w 1
+    out = tmp_path / "out.mrc"
+    txt = tmp_path / "min.txt"
+    run_cli(["-in", str(FIX), "-out", str(out), "-w", "1",
+             "-find-minima", str(txt)])
+    np.testing.assert_array_equal(_img(out), _img(GOLDEN / "ref_min.mrc"))
+    assert txt.read_text().split() == \
+        (GOLDEN / "ref_min.txt").read_text().split()
+
+
+def test_watershed_golden(tmp_path):
+    # filter_mrc -in FIX -out ref_ws.mrc -watershed minima -w 1
+    out = tmp_path / "out.mrc"
+    run_cli(["-in", str(FIX), "-out", str(out), "-w", "1",
+             "-watershed", "minima"])
+    np.testing.assert_array_equal(_img(out), _img(GOLDEN / "ref_ws.mrc"))
+
+
+def test_connect_golden(tmp_path):
+    # filter_mrc -in ref_gauss.mrc -out ref_conn.mrc -connect 37 -w 1
+    out = tmp_path / "out.mrc"
+    run_cli(["-in", str(GOLDEN / "ref_gauss.mrc"), "-out", str(out),
+             "-w", "1", "-connect", "37"])
+    ref = _img(GOLDEN / "ref_conn.mrc")
+    np.testing.assert_array_equal(_img(out), ref)
+    assert ref.max() == 7.0  # 7 clusters in the golden run
+
+
+def test_blob_and_nms_golden(tmp_path):
+    # filter_mrc -in FIX -out x.mrc -blob minima ref_blobs.txt 5 15 1.02 -w 1
+    # filter_mrc -in FIX -out y.mrc -discard-blobs ref_blobs.txt \
+    #     ref_keep.txt -max-volume-overlap 0.2 -w 1
+    blobs = tmp_path / "blobs.txt"
+    keep = tmp_path / "keep.txt"
+    run_cli(["-in", str(FIX), "-out", str(tmp_path / "b.mrc"), "-w", "1",
+             "-blob", "minima", str(blobs), "5", "15", "1.02"])
+    run_cli(["-in", str(FIX), "-out", str(tmp_path / "k.mrc"), "-w", "1",
+             "-discard-blobs", str(blobs), str(keep),
+             "-max-volume-overlap", "0.2"])
+    for ours_f, ref_f in [(blobs, "ref_blobs.txt"), (keep, "ref_keep.txt")]:
+        ours = np.loadtxt(str(ours_f), ndmin=2)
+        ref = np.loadtxt(str(GOLDEN / ref_f), ndmin=2)
+        assert ours.shape == ref.shape
+        np.testing.assert_array_equal(ours[:, :3], ref[:, :3])  # x y z
+        # diameters differ only in %g print rounding; scores come out
+        # of the LoG conv chain: f32 roundoff compounded over the sigma
+        # ladder -> ~3e-4 relative
+        np.testing.assert_allclose(ours[:, 3], ref[:, 3], rtol=1e-4)
+        scale = np.abs(ref[:, 4]).max()
+        np.testing.assert_allclose(ours[:, 4], ref[:, 4],
+                                   atol=1e-3 * scale)
+
+
+def test_membrane_golden(tmp_path):
+    # filter_mrc -in MEM -out ref_memb.mrc -membrane minima 6.93 -tv 2 -w 1
+    out = tmp_path / "out.mrc"
+    run_cli(["-in", str(MEM), "-out", str(out), "-w", "1",
+             "-membrane", "minima", "6.93", "-tv", "2"])
+    ref = _img(GOLDEN / "ref_memb.mrc")
+    ours = _img(out)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(ours, ref, atol=5e-5 * scale)
+    assert np.corrcoef(ours.ravel(), ref.ravel())[0, 1] > 0.999999
