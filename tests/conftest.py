@@ -25,6 +25,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite is dominated by XLA:CPU compiles
+# of the same jitted pipelines; cache them across test runs.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/visfd_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
 import pathlib
 
 import numpy as np

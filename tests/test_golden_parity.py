@@ -19,13 +19,14 @@ Regenerate with::
     # then the per-test command lines below
 """
 
+import contextlib
+import io
 import pathlib
-import subprocess
-import sys
 
 import numpy as np
 import pytest
 
+from visfd_tpu.cli import filter_mrc as FM
 from visfd_tpu.io import read_mrc
 
 GOLDEN = pathlib.Path(__file__).parent / "golden"
@@ -37,11 +38,14 @@ pytestmark = pytest.mark.skipif(not FIX.exists(),
 
 
 def run_cli(args):
-    r = subprocess.run(
-        [sys.executable, "-m", "visfd_tpu.cli.filter_mrc"] + args,
-        capture_output=True, text=True)
-    assert r.returncode == 0, r.stderr[-2000:]
-    return r
+    # In-process (not subprocess) so all invocations share one jax
+    # runtime: conftest's CPU pinning applies and jit caches persist
+    # across tests (a subprocess per call re-imported jax and
+    # recompiled everything, ~20s each).
+    buf = io.StringIO()
+    with contextlib.redirect_stderr(buf):
+        rc = FM.run(list(args))
+    assert rc == 0, buf.getvalue()[-2000:]
 
 
 def _img(path):
