@@ -43,8 +43,12 @@ def run_cli(args):
     # across tests (a subprocess per call re-imported jax and
     # recompiled everything, ~20s each).
     buf = io.StringIO()
-    with contextlib.redirect_stderr(buf):
-        rc = FM.run(list(args))
+    try:
+        with contextlib.redirect_stderr(buf):
+            rc = FM.run(list(args))
+    except Exception as exc:
+        pytest.fail(f"filter_mrc raised {exc!r}; captured stderr tail:\n"
+                    + buf.getvalue()[-2000:])
     assert rc == 0, buf.getvalue()[-2000:]
 
 
@@ -59,6 +63,14 @@ def _img(path):
     ("dog", ["-dog", "2", "4"], False),
     # filter_mrc -in FIX -out ref_erode.mrc -erode 2 -w 1
     ("erode", ["-erode", "2"], True),
+    # filter_mrc -in FIX -out ref_dogg.mrc -dogg 2 4 -exponents 3 5 -w 1
+    ("dogg", ["-dogg", "2", "4", "-exponents", "3", "5"], False),
+    # filter_mrc -in FIX -out ref_dogg2.mrc -dogg 2 4 -w 1
+    # (default exponents m=n=2: still differs from -dog, which uses
+    # exp(-r^2/2s^2) Gaussians while -dogg uses exp(-(r/s)^2))
+    ("dogg2", ["-dogg", "2", "4"], False),
+    # filter_mrc -in FIX -out ref_ggauss.mrc -ggauss 3 -exponent 4 -w 1
+    ("ggauss", ["-ggauss", "3", "-exponent", "4"], False),
 ])
 def test_filter_golden(tmp_path, name, args, exact):
     out = tmp_path / "out.mrc"
@@ -124,6 +136,21 @@ def test_blob_and_nms_golden(tmp_path):
         scale = np.abs(ref[:, 4]).max()
         np.testing.assert_allclose(ours[:, 4], ref[:, 4],
                                    atol=1e-3 * scale)
+
+
+def test_subprocess_entry_point():
+    """The ``python -m visfd_tpu.cli.filter_mrc`` __main__ block and
+    main()'s exception->exit-code handling (cheap bad-flag case; the
+    heavy pipelines run in-process above)."""
+    import subprocess
+    import sys
+    proc = subprocess.run(
+        [sys.executable, "-m", "visfd_tpu.cli.filter_mrc",
+         "-no-such-flag"],
+        capture_output=True, text=True,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"})
+    assert proc.returncode == 1
+    assert "Error" in proc.stderr
 
 
 def test_membrane_golden(tmp_path):

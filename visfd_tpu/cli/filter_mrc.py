@@ -109,10 +109,32 @@ def handle_gauss(s, x, mask):
 
 
 def handle_ggauss(s, x, mask):
-    return np.asarray(F.apply_gen_gauss(
+    # generalized Gaussians convert the truncate threshold with their
+    # own exponent: ratio = (-ln t)^(1/m), NOT the m=2 Gaussian formula
+    # (filter3d_variants.hpp:87-110)
+    if s.filter_truncate_ratio > 0:
+        tr = s.filter_truncate_ratio
+    else:
+        tr = K.halfwidth_from_threshold(1.0, s.m_exp,
+                                        s.filter_truncate_threshold)
+    out = F.apply_gen_gauss(
         x, tuple(s.width_a), s.m_exp, mask=mask,
-        truncate_ratio=_truncate_ratio(s),
-        normalize=s.normalize_near_boundaries))
+        truncate_ratio=tr,
+        normalize=s.normalize_near_boundaries)
+    if mask is not None:
+        out = jnp.where(jnp.asarray(mask) != 0, out, 0.0)
+    return np.asarray(out)
+
+
+def handle_dogg(s, x, mask):
+    """``HandleDogg`` (``handlers.cpp:265-293``): difference of
+    generalized Gaussians honoring ``-exponents m n``; dense conv,
+    no edge normalization."""
+    return np.asarray(F.apply_dogg(
+        x, tuple(s.width_a), tuple(s.width_b), s.m_exp, s.n_exp,
+        mask=mask,
+        truncate_ratio=s.filter_truncate_ratio,
+        truncate_threshold=s.filter_truncate_threshold))
 
 
 def handle_dog(s, x, mask):
@@ -1023,6 +1045,8 @@ def run(argv) -> int:
         out = handle_ggauss(s, x, mask)
     elif ft == S.DOG:
         out = handle_dog(s, x, mask)
+    elif ft == S.DOGG:
+        out = handle_dogg(s, x, mask)
     elif ft == S.LOG_DOG:
         out = handle_log(s, x, mask)
     elif ft == S.MEDIAN:

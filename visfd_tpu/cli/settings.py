@@ -24,6 +24,7 @@ NONE = "none"
 GAUSS = "gauss"
 GGAUSS = "ggauss"
 DOG = "dog"
+DOGG = "dogg"
 LOG_DOG = "log"
 MEDIAN = "median"
 DILATION = "dilation"
@@ -284,11 +285,11 @@ def parse_args(argv: List[str]) -> Settings:
         elif a in ("-dog", "-dogg"):
             need(2, "needs 2 positive numbers")
             s.width_a = [f(1)] * 3; s.width_b = [f(2)] * 3
-            s.filter_type = DOG; n = 2
+            s.filter_type = DOGG if a == "-dogg" else DOG; n = 2
         elif a in ("-dog-aniso", "-dogg-aniso"):
             need(6, "needs 6 args")
             s.width_a = [f(1), f(2), f(3)]; s.width_b = [f(4), f(5), f(6)]
-            s.filter_type = DOG; n = 6
+            s.filter_type = DOGG if a == "-dogg-aniso" else DOG; n = 6
         elif a == "-log-aniso":
             need(3, "needs 3 positive numbers")
             s.log_width = [f(1), f(2), f(3)]

@@ -71,6 +71,30 @@ def apply_gen_gauss(
     return dense_conv3d(x, ker, mask=mask, normalize=normalize)
 
 
+def apply_dogg(
+    x: jax.Array,
+    width_a,
+    width_b,
+    m_exp: float,
+    n_exp: float,
+    mask: Optional[jax.Array] = None,
+    truncate_ratio: float = -1.0,
+    truncate_threshold: float = 0.03,
+) -> jax.Array:
+    """Difference of generalized Gaussians
+    h = A*exp(-(r/a)^m) - B*exp(-(r/b)^n), dense conv, no edge
+    normalization; output is 0 where mask == 0 (``HandleDogg``,
+    ``handlers.cpp:265-293`` + ``GenFilterDogg3D``,
+    ``filter3d_variants.hpp:440-482``)."""
+    ker, _ab = K.dogg_kernel_3d(_sigma3(width_a), _sigma3(width_b),
+                                m_exp, n_exp, truncate_ratio,
+                                truncate_threshold)
+    out = dense_conv3d(x, ker, mask=mask, normalize=False)
+    if mask is not None:
+        out = jnp.where(jnp.asarray(mask) != 0, out, 0.0)
+    return out
+
+
 def apply_dog(
     x: jax.Array,
     sigma_a,

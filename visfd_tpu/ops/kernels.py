@@ -57,6 +57,53 @@ def halfwidth_from_threshold(sigma: float, m_exp: float, truncate_thresh: float)
     return float((-np.log(truncate_thresh)) ** (1.0 / m_exp))
 
 
+def dogg_kernel_3d(
+    width_a_xyz,
+    width_b_xyz,
+    m_exp: float,
+    n_exp: float,
+    truncate_ratio: float = -1.0,
+    truncate_threshold: float = 0.03,
+) -> np.ndarray:
+    """Difference-of-generalized-Gaussians kernel
+    h = A*exp(-(r/a)^m) - B*exp(-(r/b)^n), each term independently
+    normalized to sum 1 over its own window, then subtracted on the
+    union window (zero outside each term's own domain).
+
+    Window selection matches ``GenFilterDogg3D``
+    (``filter3d_variants.hpp:440-482``): if ``truncate_ratio < 0`` each
+    term gets its own ratio (-ln threshold)^(1/exponent); halfwidth[d]
+    = floor(width[d] * ratio). Returns the (Z, Y, X) dense kernel plus
+    the (A, B) central peak heights reported to the user
+    (``_GenFilterDogg3D``, ``filter3d_variants.hpp:271-383``).
+    """
+    wa = tuple(float(w) for w in width_a_xyz)
+    wb = tuple(float(w) for w in width_b_xyz)
+    ra = rb = float(truncate_ratio)
+    if truncate_ratio < 0.0:
+        ra = halfwidth_from_threshold(1.0, m_exp, truncate_threshold)
+        rb = halfwidth_from_threshold(1.0, n_exp, truncate_threshold)
+    hwa = tuple(int(np.floor(w * ra)) for w in wa)
+    hwb = tuple(int(np.floor(w * rb)) for w in wb)
+    ka = gen_gauss_kernel_3d(wa, m_exp, hwa)
+    kb = gen_gauss_kernel_3d(wb, n_exp, hwb)
+    hws = tuple(max(a, b) for a, b in zip(hwa, hwb))
+    h = np.zeros((2 * hws[2] + 1, 2 * hws[1] + 1, 2 * hws[0] + 1),
+                 dtype=np.float32)
+
+    def _paste(dst, src, sign):
+        # src is (2*hz+1, 2*hy+1, 2*hx+1); center it in dst
+        off = [(d - s) // 2 for d, s in zip(dst.shape, src.shape)]
+        sl = tuple(slice(o, o + n) for o, n in zip(off, src.shape))
+        dst[sl] += sign * src
+
+    _paste(h, ka, 1.0)
+    _paste(h, kb, -1.0)
+    A = float(ka[hwa[2], hwa[1], hwa[0]])
+    B = float(kb[hwb[2], hwb[1], hwb[0]])
+    return h, (A, B)
+
+
 def gen_gauss_kernel_3d(
     width_xyz,
     m_exp: float,
