@@ -71,6 +71,21 @@ def _img(path):
     ("dogg2", ["-dogg", "2", "4"], False),
     # filter_mrc -in FIX -out ref_ggauss.mrc -ggauss 3 -exponent 4 -w 1
     ("ggauss", ["-ggauss", "3", "-exponent", "4"], False),
+    # filter_mrc -in FIX -out ref_fluct.mrc -fluct 2 -w 1
+    ("fluct", ["-fluct", "2"], False),
+    # filter_mrc -in FIX -out ref_open.mrc -open 2 -w 1   (etc.)
+    ("open", ["-open", "2"], True),
+    ("close", ["-close", "2"], True),
+    ("thw", ["-top-hat-white", "2"], True),
+    ("thb", ["-top-hat-black", "2"], True),
+    # intensity-map post-ops (no convolution filter)
+    ("thresh2", ["-thresh2", "80", "120"], True),
+    ("thresh4", ["-thresh4", "70", "90", "110", "130"], True),
+    ("clip", ["-clip", "80", "120"], True),
+    # NOTE: no ``-median`` golden: the reference's Median() never
+    # advances its footprint iterator when a neighbor is out of bounds
+    # (``filter3d.hpp:1600-1618``: ``continue`` without ``pVoxel++``),
+    # so the compiled reference infinite-loops on any boundary voxel.
 ])
 def test_filter_golden(tmp_path, name, args, exact):
     out = tmp_path / "out.mrc"
@@ -136,6 +151,113 @@ def test_blob_and_nms_golden(tmp_path):
         scale = np.abs(ref[:, 4]).max()
         np.testing.assert_allclose(ours[:, 4], ref[:, 4],
                                    atol=1e-3 * scale)
+
+
+def test_draw_spheres_golden(tmp_path):
+    # filter_mrc -in FIX -out ref_spheres.mrc -draw-spheres ref_keep.txt -w 1
+    out = tmp_path / "out.mrc"
+    run_cli(["-in", str(FIX), "-out", str(out), "-w", "1",
+             "-draw-spheres", str(GOLDEN / "ref_keep.txt")])
+    np.testing.assert_array_equal(_img(out), _img(GOLDEN / "ref_spheres.mrc"))
+
+
+def test_watershed_markers_golden(tmp_path):
+    # markers image: labels 1..N painted at the ref_min.txt minima
+    # filter_mrc -in FIX -out ref_ws_markers.mrc -w 1 -watershed minima \
+    #     -markers ref_markers.mrc -watershed-show-boundaries
+    out = tmp_path / "out.mrc"
+    run_cli(["-in", str(FIX), "-out", str(out), "-w", "1",
+             "-watershed", "minima",
+             "-markers", str(GOLDEN / "ref_markers.mrc"),
+             "-watershed-show-boundaries"])
+    np.testing.assert_array_equal(_img(out),
+                                  _img(GOLDEN / "ref_ws_markers.mrc"))
+
+
+def _load_ply(path):
+    lines = pathlib.Path(path).read_text().splitlines()
+    n = int([ln for ln in lines
+             if ln.startswith("element vertex")][0].split()[-1])
+    start = lines.index("end_header") + 1
+    return np.array([[float(v) for v in ln.split()]
+                     for ln in lines[start:start + n]])
+
+
+def test_membrane_connect_flagship_golden(tmp_path):
+    """Full two-phase flagship: membrane -> TV (save/load-progress) ->
+    connect with tensor/vector gates + polarity standardization ->
+    select-cluster -> oriented normals PLY.  Cluster labels bit-exact;
+    PLY positions/normals to f32 conv roundoff.
+
+    Reference commands (= tests/test_membrane_detection.sh):
+      filter_mrc -w 19.2 -in MEM -out ref_memb_conn.mrc -membrane minima 55
+        -tv 4 -tv-angle-exponent 4 -bin 2 -save-progress P
+      filter_mrc ... -load-progress P -connect 1e+09 -connect-angle 30
+        -normals-file ref_memb.ply -select-cluster 1
+    (handlers.cpp:1501-2357, connect.hpp:168-1432)
+    """
+    out = tmp_path / "memb.mrc"
+    ply = tmp_path / "memb.ply"
+    base = str(tmp_path / "prog")
+    common = ["-w", "19.2", "-in", str(MEM), "-out", str(out),
+              "-membrane", "minima", "55", "-tv", "4",
+              "-tv-angle-exponent", "4", "-bin", "2"]
+    run_cli(common + ["-save-progress", base])
+    # saved 6-channel vote tensors match the reference's checkpoint
+    for d in range(6):
+        ours_t = _img(f"{base}_tensor_{d}.rec")
+        ref_t = _img(GOLDEN / f"ref_prog_tensor_{d}.rec")
+        scale = np.abs(ref_t).max()
+        np.testing.assert_allclose(ours_t, ref_t, atol=5e-6 * scale)
+    run_cli(common + ["-load-progress", base,
+                      "-connect", "1e+09", "-connect-angle", "30",
+                      "-normals-file", str(ply), "-select-cluster", "1"])
+    np.testing.assert_array_equal(_img(out),
+                                  _img(GOLDEN / "ref_memb_conn.mrc"))
+    ours_ply = _load_ply(ply)
+    ref_ply = _load_ply(GOLDEN / "ref_memb.ply")
+    assert ours_ply.shape == ref_ply.shape  # same vertex count (58)
+    np.testing.assert_allclose(ours_ply[:, :3], ref_ply[:, :3],
+                               atol=1e-3)  # positions (PLY %g prints)
+    nscale = np.abs(ref_ply[:, 3:]).max()
+    np.testing.assert_allclose(ours_ply[:, 3:], ref_ply[:, 3:],
+                               atol=1e-4 * nscale)  # unnormalized normals
+
+
+def test_connect_from_reference_tensors_golden(tmp_path):
+    """Isolates the LabelConnected machinery: load the REFERENCE's own
+    saved vote tensors (ref_prog_tensor_*.rec), run -connect at a
+    threshold that fragments the membrane into 2 clusters, and demand
+    bit-exact labels (connect.hpp:168-1432 gates + polarity)."""
+    out = tmp_path / "memb.mrc"
+    run_cli(["-w", "19.2", "-in", str(MEM), "-out", str(out),
+             "-membrane", "minima", "55", "-tv", "4",
+             "-tv-angle-exponent", "4", "-bin", "2",
+             "-load-progress", str(GOLDEN / "ref_prog"),
+             "-connect", "5e+09", "-connect-angle", "10"])
+    np.testing.assert_array_equal(_img(out),
+                                  _img(GOLDEN / "ref_memb_frag.mrc"))
+
+
+def test_mustlink_golden(tmp_path):
+    """Must-link constraints (connect.hpp:829-1045): joining the two
+    fragments from the 5e+09 run back into one cluster via an
+    IMOD-notation -must-link file; labels bit-exact, PLY matching."""
+    out = tmp_path / "memb.mrc"
+    ply = tmp_path / "memb.ply"
+    run_cli(["-w", "19.2", "-in", str(MEM), "-out", str(out),
+             "-membrane", "minima", "55", "-tv", "4",
+             "-tv-angle-exponent", "4", "-bin", "2",
+             "-load-progress", str(GOLDEN / "ref_prog"),
+             "-connect", "5e+09", "-connect-angle", "10",
+             "-must-link", str(GOLDEN / "ref_ml.txt"),
+             "-select-cluster", "1", "-normals-file", str(ply)])
+    np.testing.assert_array_equal(_img(out),
+                                  _img(GOLDEN / "ref_memb_ml.mrc"))
+    ours_ply = _load_ply(ply)
+    ref_ply = _load_ply(GOLDEN / "ref_memb_ml.ply")
+    assert ours_ply.shape == ref_ply.shape
+    np.testing.assert_allclose(ours_ply[:, :3], ref_ply[:, :3], atol=1e-3)
 
 
 def test_subprocess_entry_point():

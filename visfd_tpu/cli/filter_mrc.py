@@ -175,10 +175,18 @@ def handle_morphology(s, x, mask):
 
 
 def handle_fluct(s, x, mask):
+    # threshold -> ratio conversion uses the template exponent:
+    # ratio = (-ln t)^(1/m) (filter3d_variants.hpp:652-681)
+    if s.filter_truncate_ratio > 0:
+        tr = s.filter_truncate_ratio
+    else:
+        tr = K.halfwidth_from_threshold(
+            1.0, s.template_background_exponent,
+            s.filter_truncate_threshold)
     return np.asarray(F.local_fluctuations_by_radius(
         x, tuple(s.template_background_radius), mask=mask,
         m_exp=s.template_background_exponent,
-        truncate_ratio=_truncate_ratio(s),
+        truncate_ratio=tr,
         normalize=s.normalize_near_boundaries))
 
 
