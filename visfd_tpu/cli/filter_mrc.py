@@ -619,18 +619,19 @@ def handle_tv(s, img, x_np, mask_np, w):
         if mask_np is not None:
             direction = direction * (mask_np != 0)[..., None]
 
-    # saliency thresholding (top fraction) -- handlers.cpp:1751-1797
+    # saliency thresholding (top fraction) -- handlers.cpp:1751-1797.
+    # The reference sorts every voxel on the host; we compute the same
+    # threshold as an exact distributed order statistic (4 psum'd radix
+    # rounds, parallel.reduce), so -tv-best scales with the mesh.
     thr = s.hessian_score_threshold
     if s.hessian_score_threshold_is_a_fraction:
-        if mask_np is not None:
-            vals = score[mask_np != 0]
-        else:
-            vals = score.reshape(-1)
+        from visfd_tpu.parallel.reduce import fraction_threshold
         print(" -- sorting all voxels by ridge saliency --\n",
               file=sys.stderr)
-        svals = np.sort(vals)[::-1]
-        idx = int(np.floor(len(svals) * thr))
-        thr = svals[min(idx, len(svals) - 1)]
+        thr = fraction_threshold(
+            jnp.asarray(score.astype(np.float32)), thr,
+            mask=None if mask_np is None
+            else jnp.asarray((mask_np != 0).astype(np.float32)))
     score = np.where(score < thr, 0.0, score)
 
     vote = None

@@ -109,12 +109,25 @@ def blob_dog(
     maxima_threshold: float = -np.inf,
     use_threshold_ratios: bool = True,
     report=None,
+    log_fn=None,
+    extremum_fn=None,
 ) -> Tuple[BlobList, BlobList]:
     """Returns (minima, maxima) BlobLists with per-blob sigma stored in
-    ``diameters`` (callers converting to diameters use blob_dog_d)."""
+    ``diameters`` (callers converting to diameters use blob_dog_d).
+
+    ``log_fn(x, sig_xyz, delta, truncate_ratio, mask)`` and
+    ``extremum_fn(prev, mid, next_, mask)`` override the single-device
+    LoG / 80-neighbor-test implementations -- the mesh-sharded ladder
+    (``visfd_tpu.parallel.sharded.sharded_blob_dog``) plugs in
+    halo-exchange versions here so the list-building and threshold
+    logic stays single-sourced."""
     x = jnp.asarray(x, jnp.float32)
     m = None if mask is None else jnp.asarray(mask, jnp.float32)
     sigmas = list(sigmas)
+    if log_fn is None:
+        log_fn = log_filter_for_scale
+    if extremum_fn is None:
+        extremum_fn = _extremum_masks
 
     min_crds, min_sig, min_sc = [], [], []
     max_crds, max_sig, max_sc = [], [], []
@@ -126,12 +139,12 @@ def blob_dog(
                          f"--- Applying DoG filter using sigma[{ir}] = {s}"
                          " (in voxels) ---\n")
         sig_xyz = tuple(s * a for a in aspect_ratio)
-        ring[ir % 3] = log_filter_for_scale(
+        ring[ir % 3] = log_fn(
             x, sig_xyz, delta_sigma_over_sigma, truncate_ratio, m)
         if ir < 2:
             continue
         prev, mid, next_ = ring[(ir - 2) % 3], ring[(ir - 1) % 3], ring[ir % 3]
-        is_min, is_max = _extremum_masks(prev, mid, next_, m)
+        is_min, is_max = extremum_fn(prev, mid, next_, m)
         is_min, is_max = np.asarray(is_min), np.asarray(is_max)
         mid_np = np.asarray(mid)
         for sel, crds, sigl, scl, want_neg in (

@@ -20,7 +20,12 @@ import jax.numpy as jnp
 def halo_pad(x: jax.Array, halo: int, axis: int, axis_name: str) -> jax.Array:
     """Return x extended by ``halo`` rows on both sides of ``axis``,
     filled from ring neighbors along ``axis_name`` (zeros at the
-    global edges). Must be called inside shard_map."""
+    global edges). Must be called inside shard_map.
+
+    Halos larger than the local block (wide stencils on small blocks,
+    e.g. the blob ladder's largest sigmas) gather from neighbors up to
+    distance ceil(halo / block) hops away: hop d < K contributes a full
+    block, the farthest hop contributes the remaining partial slab."""
     if halo == 0:
         return x
     n_shards = jax.lax.axis_size(axis_name)
@@ -29,26 +34,34 @@ def halo_pad(x: jax.Array, halo: int, axis: int, axis_name: str) -> jax.Array:
         pad[axis] = (halo, halo)
         return jnp.pad(x, pad)
     idx = jax.lax.axis_index(axis_name)
+    bs = x.shape[axis]
+    hops = -(-halo // bs)  # ceil
 
-    # slab this shard sends to its +1 neighbor (our trailing rows)
-    sl_hi = [slice(None)] * x.ndim
-    sl_hi[axis] = slice(x.shape[axis] - halo, x.shape[axis])
-    send_up = x[tuple(sl_hi)]
-    # slab sent to the -1 neighbor (our leading rows)
-    sl_lo = [slice(None)] * x.ndim
-    sl_lo[axis] = slice(0, halo)
-    send_down = x[tuple(sl_lo)]
+    def slab(v, lo, hi):
+        sl = [slice(None)] * v.ndim
+        sl[axis] = slice(lo, hi)
+        return v[tuple(sl)]
 
-    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
-    bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
-    from_below = jax.lax.ppermute(send_up, axis_name, fwd)
-    from_above = jax.lax.ppermute(send_down, axis_name, bwd)
-
-    # zero-fill the wrapped-around slabs at the global boundary
-    zero = jnp.zeros_like(from_below)
-    from_below = jnp.where(idx == 0, zero, from_below)
-    from_above = jnp.where(idx == n_shards - 1, zero, from_above)
-    return jnp.concatenate([from_below, x, from_above], axis=axis)
+    below_parts = []  # ordered outermost (farthest) first
+    above_parts = []  # ordered nearest first
+    for d in range(hops, 0, -1):
+        take = bs if d < hops else halo - (hops - 1) * bs
+        # from the -d neighbor: its trailing ``take`` rows
+        send_up = slab(x, bs - take, bs)
+        fwd = [(i, (i + d) % n_shards) for i in range(n_shards)]
+        from_below = jax.lax.ppermute(send_up, axis_name, fwd)
+        # from the +d neighbor: its leading ``take`` rows
+        send_down = slab(x, 0, take)
+        bwd = [(i, (i - d) % n_shards) for i in range(n_shards)]
+        from_above = jax.lax.ppermute(send_down, axis_name, bwd)
+        # zero-fill wrapped slabs outside the global volume
+        zero = jnp.zeros_like(from_below)
+        from_below = jnp.where(idx >= d, from_below, zero)
+        from_above = jnp.where(idx < n_shards - d, from_above, zero)
+        below_parts.append(from_below)
+        above_parts.append(from_above)
+    above_parts.reverse()  # nearest (d=1) first, farthest last
+    return jnp.concatenate(below_parts + [x] + above_parts, axis=axis)
 
 
 def halo_pad_2d(x: jax.Array, halo_z: int, halo_y: int,

@@ -152,12 +152,32 @@ def find_extrema(
     offs = neighbor_offsets(connectivity)
     labels, has_lt, has_gt, border = _extrema_device(
         x, None if mask is None else jnp.asarray(mask, jnp.float32), offs)
+    return postprocess_extrema(
+        np.asarray(labels), np.asarray(has_lt), np.asarray(has_gt),
+        np.asarray(border), np.asarray(x),
+        find_minima=find_minima, find_maxima=find_maxima,
+        minima_threshold=minima_threshold,
+        maxima_threshold=maxima_threshold,
+        allow_borders=allow_borders,
+        want_label_image=want_label_image)
 
-    labels = np.asarray(labels)
-    has_lt = np.asarray(has_lt)
-    has_gt = np.asarray(has_gt)
-    border = np.asarray(border)
-    vals = np.asarray(x)
+
+def postprocess_extrema(
+    labels: np.ndarray,
+    has_lt: np.ndarray,
+    has_gt: np.ndarray,
+    border: np.ndarray,
+    vals: np.ndarray,
+    find_minima: bool = True,
+    find_maxima: bool = True,
+    minima_threshold: float = np.inf,
+    maxima_threshold: float = -np.inf,
+    allow_borders: bool = True,
+    want_label_image: bool = True,
+) -> ExtremaResult:
+    """Host-side reduction of the per-voxel plateau labels/flags into
+    sorted extremum lists (shared by the single-device and the
+    mesh-sharded device kernels)."""
     n = vals.size
 
     flat_labels = labels.reshape(-1)
