@@ -99,6 +99,76 @@ def test_fraction_threshold_exact(rng, fraction):
     assert thr == vals[k]
 
 
+def _wells(shape=(16, 17, 18), centers=((4, 5, 6), (12, 12, 13)),
+           depths=(2.0, 1.5)):
+    zz, yy, xx = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    out = np.zeros(shape, np.float32)
+    for (cz, cy, cx), d in zip(centers, depths):
+        r2 = (zz - cz) ** 2 + (yy - cy) ** 2 + (xx - cx) ** 2
+        out -= d * np.exp(-r2 / 18.0)
+    return out
+
+
+@pytest.mark.parametrize("n_devices", [1, 8])
+def test_sharded_watershed_identical(rng, n_devices):
+    from visfd_tpu.segment.propagate import propagate_watershed
+    from visfd_tpu.parallel.sharded_features import (
+        propagate_watershed_sharded)
+    x = rng.normal(size=(12, 13, 14)).astype(np.float32)
+    for ax in range(3):
+        x = (x + np.roll(x, 1, ax) + np.roll(x, -1, ax)) / 3.0
+    mask = (rng.random(x.shape) > 0.1).astype(np.float32)
+    for minima in (True, False):
+        ref = propagate_watershed(x, mask=mask, start_from_minima=minima)
+        got = propagate_watershed_sharded(
+            x, make_mesh(n_devices), mask=mask, start_from_minima=minima)
+        assert got.num_basins == ref.num_basins
+        np.testing.assert_array_equal(got.labels, ref.labels)
+        np.testing.assert_array_equal(got.basin_locations,
+                                      ref.basin_locations)
+        np.testing.assert_array_equal(got.basin_scores, ref.basin_scores)
+
+
+def test_sharded_watershed_plateaus():
+    from visfd_tpu.segment.propagate import propagate_watershed
+    from visfd_tpu.parallel.sharded_features import (
+        propagate_watershed_sharded)
+    x = np.round(_wells(depths=(2.0, 2.0)) * 4) / 4  # flat tops
+    ref = propagate_watershed(x)
+    got = propagate_watershed_sharded(x, make_mesh(8))
+    assert got.num_basins == ref.num_basins == 2
+    np.testing.assert_array_equal(got.labels, ref.labels)
+
+
+def test_cli_watershed_device(tmp_path, img):
+    """-watershed-device (extension): basin count equals the host
+    Meyer flood's; markers/boundaries combinations are rejected."""
+    import io
+    import contextlib
+    from visfd_tpu.cli import filter_mrc as FM
+    from visfd_tpu.io import write_mrc, read_mrc
+    inp = tmp_path / "in.mrc"
+    write_mrc(str(inp), img.astype(np.float32))
+    outs = {}
+    for name, extra in [("host", ["-watershed-hide-boundaries"]),
+                        ("dev", ["-watershed-device"])]:
+        out = tmp_path / f"{name}.mrc"
+        buf = io.StringIO()
+        with contextlib.redirect_stderr(buf):
+            rc = FM.run(["-in", str(inp), "-out", str(out), "-w", "1",
+                         "-watershed", "minima"] + extra)
+        assert rc == 0, buf.getvalue()[-1500:]
+        outs[name] = read_mrc(str(out)).data
+    assert outs["host"].max() == outs["dev"].max()  # same basin count
+
+    from visfd_tpu.cli.settings import InputError
+    with pytest.raises(InputError), \
+            contextlib.redirect_stderr(io.StringIO()):
+        FM.run(["-in", str(inp), "-out", str(tmp_path / "x.mrc"),
+                "-w", "1", "-watershed", "minima",
+                "-watershed-device", "-watershed-show-boundaries"])
+
+
 def test_kth_largest_duplicates_and_mesh_sizes(rng):
     x = np.round(rng.normal(size=(16, 16, 16)) * 5).astype(np.float32)
     sv = np.sort(x.reshape(-1))[::-1]

@@ -224,19 +224,42 @@ def handle_extrema(s, x_np, mask_np, w):
 
 
 def handle_watershed(s, x_np, mask_np):
-    """``HandleWatershed`` (``handlers.cpp:1279-1391``)."""
+    """``HandleWatershed`` (``handlers.cpp:1279-1391``).
+
+    With ``-watershed-device`` (extension) the volume stays in HBM and
+    basins come from the sharded steepest-descent propagation
+    (``parallel.sharded_features.propagate_watershed_sharded``) --
+    same basin count/locations as the Meyer flood, no boundary labels,
+    no marker support."""
     markers = None
     if s.watershed_markers_filename:
         markers = np.round(
             mrc.read_mrc(s.watershed_markers_filename).data).astype(np.int64)
-    res = watershed(
-        x_np, mask=mask_np, markers=markers,
-        halt_threshold=s.watershed_threshold,
-        start_from_minima=not s.clusters_begin_at_maxima,
-        connectivity=s.neighbor_connectivity,
-        show_boundaries=s.watershed_show_boundaries,
-        label_boundary=int(s.watershed_boundary_label),
-        label_undefined=-1)
+    if s.watershed_on_device:
+        if markers is not None or s.watershed_show_boundaries:
+            raise InputError(
+                "Error: -watershed-device does not support -markers or "
+                "-watershed-show-boundaries\n"
+                "       (boundary labels are flood-order artifacts; use "
+                "the host watershed).")
+        from visfd_tpu.parallel.mesh import make_mesh
+        from visfd_tpu.parallel.sharded_features import (
+            propagate_watershed_sharded)
+        res = propagate_watershed_sharded(
+            x_np, make_mesh(), mask=mask_np,
+            start_from_minima=not s.clusters_begin_at_maxima,
+            halt_threshold=s.watershed_threshold,
+            connectivity=s.neighbor_connectivity,
+            label_undefined=-1)
+    else:
+        res = watershed(
+            x_np, mask=mask_np, markers=markers,
+            halt_threshold=s.watershed_threshold,
+            start_from_minima=not s.clusters_begin_at_maxima,
+            connectivity=s.neighbor_connectivity,
+            show_boundaries=s.watershed_show_boundaries,
+            label_boundary=int(s.watershed_boundary_label),
+            label_undefined=-1)
     print(f"Number of basins found: {res.num_basins}", file=sys.stderr)
     labels = res.labels
     max_label = labels.max() if labels.size else 0

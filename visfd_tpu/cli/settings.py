@@ -182,6 +182,9 @@ class Settings:
     watershed_threshold: float = np.inf
     user_set_watershed_threshold: bool = False
     watershed_show_boundaries: bool = True
+    # extension (not in the reference): keep the watershed on device
+    # via label propagation instead of the host Meyer flood
+    watershed_on_device: bool = False
     watershed_boundary_label: float = 0.0
     watershed_markers_filename: str = ""
     clusters_begin_at_maxima: bool = False
@@ -504,6 +507,12 @@ def parse_args(argv: List[str]) -> Settings:
             s.user_set_thickness_manually = True; n = 1
         elif a in ("-spheres-scale", "-sphere-scale"):
             need(1, "needs 1 arg"); s.sphere_decals_scale = f(1); n = 1
+        elif a == "-watershed-device":
+            # extension: device-resident steepest-descent watershed
+            # (segment.propagate), mesh-sharded when several devices
+            # are visible; no Meyer boundary labels
+            s.watershed_on_device = True
+            s.watershed_show_boundaries = False; n = 0
         elif a == "-watershed":
             need(1, "must be followed by minima or maxima")
             s.filter_type = WATERSHED

@@ -236,6 +236,34 @@ def calc_sphere_overlap(rij, ri, rj):
         + rj ** 3 * (2 - (xj / rj) * (3 - (xj / rj) ** 2)))
 
 
+def _sphere_overlap_vec(rij, ri, rj):
+    """Vectorized ``calc_sphere_overlap`` (``visfd_utils.hpp:93-119``);
+    same f64 expression as the scalar version."""
+    lo = np.minimum(ri, rj)
+    hi = np.maximum(ri, rj)
+    full = (4 * np.pi / 3) * lo ** 3
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xi = 0.5 / rij * (rij * rij + lo * lo - hi * hi)
+        xj = 0.5 / rij * (rij * rij + hi * hi - lo * lo)
+        lens = (np.pi / 3) * (
+            lo ** 3 * (2 - (xi / lo) * (3 - (xi / lo) ** 2))
+            + hi ** 3 * (2 - (xj / hi) * (3 - (xj / hi) ** 2)))
+    return np.where(rij <= lo, full, lens)
+
+
+@functools.lru_cache(maxsize=None)
+def _sphere_cell_offsets(big_r: int) -> np.ndarray:
+    """(M, 3) integer (jx, jy, jz) offsets with |j|^2 <= big_r^2, in
+    the reference's z-outer raster order."""
+    offs = []
+    for jz in range(-big_r, big_r + 1):
+        for jy in range(-big_r, big_r + 1):
+            for jx in range(-big_r, big_r + 1):
+                if jx * jx + jy * jy + jz * jz <= big_r * big_r:
+                    offs.append((jx, jy, jz))
+    return np.asarray(offs, np.int64)
+
+
 def discard_overlapping_blobs(
     blobs: BlobList,
     min_radial_separation_ratio: float,
@@ -246,7 +274,10 @@ def discard_overlapping_blobs(
 ) -> BlobList:
     """Greedy best-first NMS through a coarse occupancy grid,
     replicating ``DiscardOverlappingBlobs`` (``feature.hpp:720-913``)
-    including its grid-limited collision detection."""
+    including its grid-limited collision detection.  The per-blob
+    collision test is vectorized over all candidates in the covered
+    cells (discard is an OR over colliding survivors, so batching the
+    checks is exact)."""
     blobs = sort_blobs(blobs, criteria, ascending_order=False)
     n = len(blobs)
     if n == 0:
@@ -255,64 +286,47 @@ def discard_overlapping_blobs(
     # bounds are ints in the reference (truncation toward zero on
     # assignment, feature.hpp:765-777); keep that exactly so the grid
     # geometry matches
-    bounds_min = np.zeros(3, np.int64)
-    bounds_max = np.full(3, -1, np.int64)
-    for i in range(n):
-        reff = np.ceil(blobs.diameters[i] / 2)
-        for d in range(3):
-            lo = int(blobs.crds[i][d] - reff)  # trunc toward zero
-            hi = int(blobs.crds[i][d] + reff)
-            if lo < bounds_min[d] or bounds_min[d] > bounds_max[d]:
-                bounds_min[d] = lo
-            if hi > bounds_max[d] or bounds_min[d] > bounds_max[d]:
-                bounds_max[d] = hi
+    reff_all = np.ceil(blobs.diameters / 2)
+    lo_all = (blobs.crds - reff_all[:, None]).astype(np.int64)  # trunc
+    hi_all = (blobs.crds + reff_all[:, None]).astype(np.int64)
+    bounds_min = lo_all.min(axis=0)
+    bounds_max = hi_all.max(axis=0)
     table_size = (1 + bounds_max - bounds_min) // scale
+
+    radii = blobs.diameters / 2
+    vols = (4 * np.pi / 3) * radii ** 3
+    grid = np.floor((blobs.crds - bounds_min) / scale).astype(np.int64)
 
     occ = {}
     keep = []
     for i in range(n):
-        reff_ = blobs.diameters[i] / 2
-        big_r = int(np.ceil(reff_ / scale)) + 1
-        big_rsq = big_r * big_r
-        cx, cy, cz = blobs.crds[i]
-        gx = int(np.floor((cx - bounds_min[0]) / scale))
-        gy = int(np.floor((cy - bounds_min[1]) / scale))
-        gz = int(np.floor((cz - bounds_min[2]) / scale))
+        big_r = int(np.ceil(radii[i] / scale)) + 1
+        cells = _sphere_cell_offsets(big_r) + grid[i]
+        inb = ((cells >= 0) & (cells < table_size)).all(axis=1)
+        cells = cells[inb]
+        cand = []
+        cell_keys = list(map(tuple, cells))
+        for c in cell_keys:
+            cand.extend(occ.get(c, ()))
         discard = False
-        cells = []
-        for jz in range(-big_r, big_r + 1):
-            for jy in range(-big_r, big_r + 1):
-                for jx in range(-big_r, big_r + 1):
-                    if jx * jx + jy * jy + jz * jz > big_rsq:
-                        continue
-                    c = (gx + jx, gy + jy, gz + jz)
-                    if not (0 <= c[0] < table_size[0]
-                            and 0 <= c[1] < table_size[1]
-                            and 0 <= c[2] < table_size[2]):
-                        continue
-                    cells.append(c)
-                    if discard:
-                        continue
-                    for k in occ.get(c, ()):
-                        kx, ky, kz = blobs.crds[k]
-                        rik = np.sqrt((cx - kx) ** 2 + (cy - ky) ** 2
-                                      + (cz - kz) ** 2)
-                        ri = blobs.diameters[i] / 2
-                        rk = blobs.diameters[k] / 2
-                        if rik < (ri + rk) * min_radial_separation_ratio:
-                            discard = True
-                            break
-                        vol = calc_sphere_overlap(rik, ri, rk)
-                        vi = (4 * np.pi / 3) * ri ** 3
-                        vk = (4 * np.pi / 3) * rk ** 3
-                        v_large, v_small = max(vi, vk), min(vi, vk)
-                        if (vol / v_small > max_volume_overlap_small
-                                or vol / v_large > max_volume_overlap_large):
-                            discard = True
-                            break
+        if cand:
+            k = np.unique(np.asarray(cand, np.int64))
+            d = blobs.crds[i] - blobs.crds[k]
+            rik = np.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2 + d[:, 2] ** 2)
+            rk = radii[k]
+            ri = radii[i]
+            if np.any(rik < (ri + rk) * min_radial_separation_ratio):
+                discard = True
+            else:
+                vol = _sphere_overlap_vec(rik, ri, rk)
+                v_small = np.minimum(vols[i], vols[k])
+                v_large = np.maximum(vols[i], vols[k])
+                if np.any((vol / v_small > max_volume_overlap_small)
+                          | (vol / v_large > max_volume_overlap_large)):
+                    discard = True
         if not discard:
             keep.append(i)
-            for c in cells:
+            for c in cell_keys:
                 occ.setdefault(c, []).append(i)
     return blobs.take(np.asarray(keep, int))
 

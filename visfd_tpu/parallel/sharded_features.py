@@ -336,6 +336,205 @@ def find_extrema_sharded(
         **kw)
 
 
+@functools.lru_cache(maxsize=None)
+def _build_sharded_descend(mesh: Mesh,
+                           offsets: Tuple[Tuple[int, int, int], ...]):
+    """Sharded counterpart of ``segment.propagate._descend_device``'s
+    stencil phases: per-voxel steepest-descent parents (min lower
+    neighbor, ties -> min flat index), plateau representatives, plateau
+    has-lower reduction, and the synchronous BFS-from-exit resolve
+    ordering for non-minimum plateau members.  Returns the parent
+    pointer graph; the host collapses it to roots (vectorized numpy
+    pointer jumping -- the volume is gathered for labeling anyway).
+
+    ``m`` is the user-mask validity (0 in mesh padding too) and
+    ``inb`` the true-volume indicator (1 wherever the voxel exists,
+    masked or not)."""
+    zn, yn = mesh.axis_names
+    spec = P(zn, yn)
+    r = max(max(abs(c) for c in off) for off in offsets)
+    SENT = jnp.int32(2 ** 31 - 1)
+    INF = jnp.float32(np.inf)
+
+    def local(x, m, inb):
+        bz, by, nx = x.shape
+        ny = by * jax.lax.axis_size(yn)
+        z0 = jax.lax.axis_index(zn) * bz
+        y0 = jax.lax.axis_index(yn) * by
+        valid = m != 0
+        xv = jnp.where(valid, x, INF)
+
+        def pad_r(v):
+            v = halo_pad_2d(v, r, r, zn, yn)
+            return jnp.pad(v, ((0, 0), (0, 0), (r, r)))
+
+        def pad_labels(lab):
+            return SENT - pad_r(SENT - lab)
+
+        def sl(p, off):
+            dz, dy, dx = off
+            return jax.lax.dynamic_slice(p, (r + dz, r + dy, r + dx),
+                                         (bz, by, nx))
+
+        indpad = pad_r(inb)
+        xvpad = jnp.where(indpad > 0, pad_r(xv), INF)
+
+        zi = (jnp.arange(bz, dtype=jnp.int32) + z0)[:, None, None]
+        yi = (jnp.arange(by, dtype=jnp.int32) + y0)[None, :, None]
+        xi = jnp.arange(nx, dtype=jnp.int32)[None, None, :]
+        idx = (zi * ny + yi) * nx + xi
+
+        best_val = jnp.full(x.shape, INF)
+        best_idx = jnp.full(x.shape, SENT)
+        same_list = []
+        nidx_list = []
+        for off in offsets:
+            dz, dy, dx = off
+            nv = sl(xvpad, off)
+            usable = sl(indpad, off) > 0
+            nidx = idx + jnp.int32((dz * ny + dy) * nx + dx)
+            lower = usable & (nv < xv)
+            better = lower & ((nv < best_val)
+                              | ((nv == best_val) & (nidx < best_idx)))
+            best_val = jnp.where(better, nv, best_val)
+            best_idx = jnp.where(better, nidx, best_idx)
+            same_list.append(usable & (nv == xv))
+            nidx_list.append(nidx)
+        has_lower = jnp.isfinite(best_val)
+
+        # plateau labels + plateau-has-lower, min-propagated together
+        key2 = jnp.where(has_lower & valid, idx, SENT)
+
+        def plab_body(state):
+            lab, key, _ = state
+            lab_h = pad_labels(lab)
+            key_h = pad_labels(key)
+            newl, newk = lab, key
+            for same, off in zip(same_list, offsets):
+                newl = jnp.where(same, jnp.minimum(newl, sl(lab_h, off)),
+                                 newl)
+                newk = jnp.where(same, jnp.minimum(newk, sl(key_h, off)),
+                                 newk)
+            # block-local pointer jump on the labels
+            dz_ = newl // (ny * nx)
+            remv = newl - dz_ * (ny * nx)
+            dy_ = remv // nx
+            dx_ = remv - dy_ * nx
+            inblk = ((dz_ >= z0) & (dz_ < z0 + bz)
+                     & (dy_ >= y0) & (dy_ < y0 + by))
+            loc = jnp.clip(((dz_ - z0) * by + (dy_ - y0)) * nx + dx_,
+                           0, bz * by * nx - 1)
+            jl = newl.reshape(-1)[loc.reshape(-1)].reshape(x.shape)
+            jk = newk.reshape(-1)[loc.reshape(-1)].reshape(x.shape)
+            newl = jnp.where(inblk, jl, newl)
+            newk = jnp.where(inblk, jnp.minimum(newk, jk), newk)
+            ch = jnp.any((newl != lab) | (newk != key))
+            ch = jax.lax.psum(jax.lax.psum(ch.astype(jnp.int32), zn),
+                              yn) > 0
+            return newl, newk, ch
+
+        plab, pkey, _ = jax.lax.while_loop(
+            lambda s: s[2], plab_body, (idx, key2, jnp.asarray(True)))
+        is_min_plateau = valid & (pkey == SENT)
+
+        # initial parents (propagate.py:103-105 semantics)
+        parent = jnp.where(has_lower, best_idx, jnp.int32(-1))
+        parent = jnp.where(is_min_plateau, plab, parent)
+        parent = jnp.where(~valid, idx, parent)
+
+        def resolve_body(state):
+            par, _ = state
+            resolved = par >= 0
+            par_h = pad_labels(jnp.where(resolved, par, jnp.int32(-1)))
+            newpar = par
+            for same, nidx, off in zip(same_list, nidx_list, offsets):
+                nres = sl(par_h, off) >= 0
+                cand_ok = same & nres
+                cand = jnp.where(cand_ok, nidx, SENT)
+                newpar = jnp.where(
+                    ~resolved & cand_ok
+                    & (cand < jnp.where(newpar >= 0, newpar, SENT)),
+                    cand, newpar)
+            ch = jnp.any((newpar >= 0) != resolved)
+            ch = jax.lax.psum(jax.lax.psum(ch.astype(jnp.int32), zn),
+                              yn) > 0
+            return newpar, ch
+
+        parent, _ = jax.lax.while_loop(lambda s: s[1], resolve_body,
+                                       (parent, jnp.asarray(True)))
+        parent = jnp.where(parent < 0, idx, parent)  # safety net
+        return parent
+
+    return jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec),
+        out_specs=spec, check_vma=False))
+
+
+def propagate_watershed_sharded(
+    source,
+    mesh: Mesh,
+    mask=None,
+    start_from_minima: bool = True,
+    halt_threshold: float = np.inf,
+    connectivity: int = 1,
+    label_undefined: int = -1,
+):
+    """Mesh-sharded ``segment.propagate.propagate_watershed``:
+    identical basins/labels; the descent/plateau/resolve stencil phases
+    run under shard_map with halo exchange, the final pointer collapse
+    is vectorized numpy on the gathered parent graph."""
+    from visfd_tpu.segment import extrema as E
+    from visfd_tpu.segment.propagate import postprocess_basins
+
+    x = np.asarray(source, np.float32)
+    if not start_from_minima:
+        x = -x
+        halt = -halt_threshold if np.isfinite(halt_threshold) else np.inf
+    else:
+        halt = halt_threshold
+    nz, ny, nx = x.shape
+
+    xp, _ = _pad_zy(x, mesh)
+    inb = _inbounds_indicator(x.shape, mesh)
+    mp = inb
+    if mask is not None:
+        mpad, _ = _pad_zy(np.asarray(mask, np.float32), mesh)
+        mp = mpad * inb
+
+    sharding = NamedSharding(mesh, P(*mesh.axis_names))
+    xp = jax.device_put(xp, sharding)
+    mp = jax.device_put(mp, sharding)
+    inb = jax.device_put(inb, sharding)
+
+    offs = E.neighbor_offsets(connectivity)
+    fn = _build_sharded_descend(mesh, offs)
+    parent = np.asarray(fn(xp, mp, inb)).astype(np.int64)
+
+    # host pointer collapse (log-depth rounds of vectorized gathers)
+    parf = parent.reshape(-1)
+    while True:
+        new = parf[parf]
+        if np.array_equal(new, parf):
+            break
+        parf = new
+    root_p = parf.reshape(parent.shape)
+
+    # crop mesh padding; remap padded-dims flat indices to true dims
+    ny_p, nx_p = parent.shape[1], parent.shape[2]
+    root = np.array(root_p[:nz, :ny])
+    z_ = root // (ny_p * nx_p)
+    rem = root - z_ * (ny_p * nx_p)
+    y_ = rem // nx_p
+    x_ = rem - y_ * nx_p
+    root = (z_ * ny + y_) * nx + x_
+
+    valid = np.ones((nz, ny, nx), bool) if mask is None \
+        else (np.asarray(mask) != 0)
+    return postprocess_basins(root, valid, x,
+                              start_from_minima=start_from_minima,
+                              halt=halt, label_undefined=label_undefined)
+
+
 def sharded_blob_dog(
     x,
     sigmas: Sequence[float],

@@ -167,10 +167,25 @@ def propagate_watershed(
     offs = neighbor_offsets(connectivity)
     root, valid = _descend_device(
         x, None if mask is None else jnp.asarray(mask, jnp.float32), offs)
+    return postprocess_basins(
+        np.asarray(root), np.asarray(valid), np.asarray(x),
+        start_from_minima=start_from_minima, halt=halt,
+        label_undefined=label_undefined)
 
-    root = np.asarray(root)
-    valid = np.asarray(valid)
-    vals = np.asarray(x).reshape(-1)
+
+def postprocess_basins(
+    root: np.ndarray,
+    valid: np.ndarray,
+    x_signed: np.ndarray,
+    start_from_minima: bool,
+    halt: float,
+    label_undefined: int,
+) -> PropagateResult:
+    """Host-side basin numbering shared by the single-device and
+    mesh-sharded descent kernels.  ``x_signed`` is the (possibly
+    sign-flipped) flood surface; ``root`` holds per-voxel basin-root
+    flat indices in the TRUE (unpadded) volume."""
+    vals = x_signed.reshape(-1)
     shape = root.shape
     nz, ny, nx = shape
 
@@ -189,7 +204,7 @@ def propagate_watershed(
 
     # halt: voxels above the threshold (in flood order) are undefined
     if np.isfinite(halt):
-        labels = np.where(valid & (np.asarray(x) > halt), label_undefined,
+        labels = np.where(valid & (x_signed > halt), label_undefined,
                           labels)
 
     ixs = roots % nx

@@ -76,19 +76,24 @@ def watershed(
     basin_scores = []
     marker_labels = []  # per-basin marker label (when markers given)
     if markers is not None:
+        # vectorized first-occurrence-per-label scan (raster order,
+        # matching the reference's sequential discovery)
         markers = np.asarray(markers)
-        seen = set()
-        for iz in range(nz):
-            for iy in range(ny):
-                for ix in range(nx):
-                    if valid is not None and not valid[iz, iy, ix]:
-                        continue
-                    lab = int(markers[iz, iy, ix])
-                    if lab > 0 and lab not in seen:
-                        seen.add(lab)
-                        basin_locs.append((ix, iy, iz))
-                        basin_scores.append(float(source[iz, iy, ix]))
-                        marker_labels.append(lab)
+        flat = markers.reshape(-1)
+        ok = flat > 0
+        if valid is not None:
+            ok &= valid.reshape(-1)
+        hit = np.flatnonzero(ok)
+        labs = flat[hit]
+        uniq, first = np.unique(labs, return_index=True)
+        disc = np.argsort(first, kind="stable")  # discovery order
+        seed_flat = hit[first[disc]]
+        for f, lab in zip(seed_flat, uniq[disc]):
+            iz, rem = divmod(int(f), ny * nx)
+            iy, ix = divmod(rem, nx)
+            basin_locs.append((ix, iy, iz))
+            basin_scores.append(float(source[iz, iy, ix]))
+            marker_labels.append(int(lab))
     else:
         res = find_extrema(
             source, mask=mask,
