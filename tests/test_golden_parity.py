@@ -224,6 +224,23 @@ def test_membrane_connect_flagship_golden(tmp_path):
                                atol=1e-4 * nscale)  # unnormalized normals
 
 
+def test_membrane_sharded_checkpoint_golden(tmp_path):
+    """The orbax sharded phase checkpoint (-save/-load-progress-sharded
+    extensions) resumes the flagship pipeline to the same bit-exact
+    cluster labels as the .rec-based -save/-load-progress path."""
+    out = tmp_path / "memb.mrc"
+    ck = str(tmp_path / "ckpt")
+    common = ["-w", "19.2", "-in", str(MEM), "-out", str(out),
+              "-membrane", "minima", "55", "-tv", "4",
+              "-tv-angle-exponent", "4", "-bin", "2"]
+    run_cli(common + ["-save-progress-sharded", ck])
+    run_cli(common + ["-load-progress-sharded", ck,
+                      "-connect", "1e+09", "-connect-angle", "30",
+                      "-select-cluster", "1"])
+    np.testing.assert_array_equal(_img(out),
+                                  _img(GOLDEN / "ref_memb_conn.mrc"))
+
+
 def test_connect_from_reference_tensors_golden(tmp_path):
     """Isolates the LabelConnected machinery: load the REFERENCE's own
     saved vote tensors (ref_prog_tensor_*.rec), run -connect at a

@@ -32,6 +32,25 @@ def test_pallas_matches_jnp_dense(rng, exponent):
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("hw", [1, 2, 3, 4])
+def test_pallas_tap_table_all_halfwidths(rng, hw):
+    """Every tuned window size against the XLA table path: the r2
+    regression was hw=3 only (corner taps on the r^2 == hw^2 shell
+    were truncated by the XLA/gen_gauss table but kept by the kernel's
+    own exp() recomputation -- 13% error on real TPU)."""
+    sigma = hw / np.sqrt(2.0) + 1e-6  # floor(sigma*sqrt(2)) == hw
+    sal, v = _random_fields(rng, 12)
+    want = np.asarray(TV.tv_dense_stick(
+        jnp.asarray(sal), jnp.asarray(v), sigma, exponent=4,
+        truncate_ratio=float(np.sqrt(2.0)), normalize=False,
+        use_pallas=False))
+    got, _ = tv_dense_stick_pallas(
+        jnp.asarray(sal), jnp.asarray(v), sigma, exponent=4,
+        truncate_ratio=float(np.sqrt(2.0)), interpret=True)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-6 * scale)
+
+
 def test_pallas_matches_jnp_masked_with_denominator(rng):
     n, sigma = 8, 1.2
     sal, v = _random_fields(rng, n)

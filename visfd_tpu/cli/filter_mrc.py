@@ -659,7 +659,17 @@ def handle_tv(s, img, x_np, mask_np, w):
 
     vote = None
     if s.tv_sigma > 0:
-        if not s.load_intermediate_fname_base:
+        if s.load_progress_sharded:
+            # mesh-sharded orbax checkpoint (extension); the .rec
+            # -load-progress path below stays for reference compat
+            from visfd_tpu.io.checkpoint import load_sharded
+            print(f'loading sharded checkpoint '
+                  f'"{s.load_progress_sharded}"', file=sys.stderr)
+            state = load_sharded(s.load_progress_sharded)
+            vote = np.asarray(state["vote"])
+            if mask_np is not None:
+                vote = vote * (mask_np != 0)[..., None]
+        elif not s.load_intermediate_fname_base:
             with stage("dense stick tensor voting", rep):
                 vote = np.asarray(TV.tv_dense_stick(
                     jnp.asarray(score.astype(np.float32)),
@@ -698,6 +708,30 @@ def handle_tv(s, img, x_np, mask_np, w):
             print(f'writing "{fname}"', file=sys.stderr)
             mrc.write_mrc(fname, vote[..., d].astype(np.float32),
                           header=img.header)
+
+    if s.save_progress_sharded and vote is not None:
+        import jax
+        from visfd_tpu.io.checkpoint import save_sharded
+        from visfd_tpu.parallel.mesh import make_mesh
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mesh_ck = make_mesh()
+        nz_m, ny_m = mesh_ck.devices.shape
+        state = {
+            "vote": vote.astype(np.float32),
+            "saliency": score.astype(np.float32),
+            "direction": direction.astype(np.float32),
+        }
+        # shard (Z, Y) when the mesh divides the volume; otherwise the
+        # arrays are stored unsharded (tiny CLI fixtures)
+        if vote.shape[0] % nz_m == 0 and vote.shape[1] % ny_m == 0:
+            state = {
+                k: jax.device_put(jnp.asarray(v), NamedSharding(
+                    mesh_ck, P(*(("z", "y") + (None,) * (v.ndim - 2)))))
+                for k, v in state.items()
+            }
+        print(f'writing sharded checkpoint "{s.save_progress_sharded}"',
+              file=sys.stderr)
+        save_sharded(s.save_progress_sharded, state)
 
     out = score.astype(np.float32)
     labels_img = None

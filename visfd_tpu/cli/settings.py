@@ -215,6 +215,9 @@ class Settings:
     max_distance_to_feature: float = 1.3
     save_intermediate_fname_base: str = ""
     load_intermediate_fname_base: str = ""
+    # extensions: mesh-sharded orbax phase checkpoints
+    save_progress_sharded: str = ""
+    load_progress_sharded: str = ""
 
     mask_regions: List[Region] = dataclasses.field(default_factory=list)
     is_mask_crds_in_voxels: bool = False
@@ -636,6 +639,14 @@ def parse_args(argv: List[str]) -> Settings:
         elif a == "-load-progress":
             need(1, "needs a file name")
             s.load_intermediate_fname_base = args[i + 1]; n = 1
+        elif a == "-save-progress-sharded":
+            # extension: persist the TV phase state (vote tensor +
+            # saliency + direction) as a mesh-sharded orbax checkpoint
+            need(1, "needs a directory name")
+            s.save_progress_sharded = args[i + 1]; n = 1
+        elif a == "-load-progress-sharded":
+            need(1, "needs a directory name")
+            s.load_progress_sharded = args[i + 1]; n = 1
         elif a in ("-thresh", "-thresh-out"):
             need(1, "needs 1 number")
             s.use_intensity_map = True; s.use_dual_thresholds = False

@@ -194,9 +194,12 @@ def tv_dense_stick(
     [eivals, shoemake] when diagonalize_dest).
 
     ``use_pallas=True`` routes the accumulation through the hand-tuned
-    Pallas kernel (~8x faster per-iteration on TPU, but compiles
-    slowly through remote-compile setups); default (None) consults the
-    VISFD_TV_PALLAS env var, else uses the XLA path."""
+    Pallas kernel (~8x faster per-iteration on real TPU; parity vs the
+    XLA path is re-measured on hardware by tools/perf_report.py and
+    recorded in PERF.md).  Default (None): consult the VISFD_TV_PALLAS
+    env var if set ("1"/"0"), else Pallas IS the default on TPU for
+    windows it is tuned for (hw <= 4; compile size grows as
+    (2*hw+1)^3), XLA everywhere else (CPU tests, huge windows)."""
     import os
     w, rhat, offs, hw = tv_tables(sigma, truncate_ratio)
     saliency = jnp.asarray(saliency, jnp.float32)
@@ -205,7 +208,12 @@ def tv_dense_stick(
     md = None if mask_dest is None else jnp.asarray(mask_dest, jnp.float32)
     want_den = bool(normalize and ms is not None)
     if use_pallas is None:
-        use_pallas = os.environ.get("VISFD_TV_PALLAS", "0") == "1"
+        env = os.environ.get("VISFD_TV_PALLAS")
+        if env is not None:
+            use_pallas = env == "1"
+        else:
+            use_pallas = (hw <= 4
+                          and jax.devices()[0].platform == "tpu")
     if use_pallas:
         from visfd_tpu.ops.tv_pallas import tv_dense_stick_pallas
         dest, den = tv_dense_stick_pallas(

@@ -36,19 +36,22 @@ from jax.experimental.pallas import tpu as pltpu
 from visfd_tpu.ops import kernels as K
 
 
-def _tv_kernel(hw, exponent, detect_curves, sigma, norm, want_den,
-               ny, nx, *refs):
+def _tv_kernel(hw, exponent, detect_curves, ker, want_den,
+               by, nx, *refs):
     n_fields = 5 if want_den else 4
     w_len = 2 * hw + 1
-    ins = refs[:n_fields]          # HBM-resident z-padded fields
+    ins = refs[:n_fields]          # HBM-resident z/y-padded fields
     out_ref = refs[n_fields]
     slabs = refs[n_fields + 1:n_fields + 1 + n_fields]
     sems = refs[n_fields + 1 + n_fields]
 
-    i = pl.program_id(0)
+    i = pl.program_id(0)           # receiver z row
+    j = pl.program_id(1)           # receiver y block
+    slab_ny = slabs[0].shape[1]
     copies = [
-        pltpu.make_async_copy(ins[f].at[pl.ds(i, w_len)], slabs[f],
-                              sems.at[f])
+        pltpu.make_async_copy(
+            ins[f].at[pl.ds(i, w_len), pl.ds(j * by, slab_ny)],
+            slabs[f], sems.at[f])
         for f in range(n_fields)
     ]
     for c in copies:
@@ -56,9 +59,9 @@ def _tv_kernel(hw, exponent, detect_curves, sigma, norm, want_den,
     for c in copies:
         c.wait()
 
-    trunc = float(np.exp(-((hw / sigma) ** 2))) if sigma > 0 else 1.0
     n_acc = 7 if want_den else 6
-    acc = [jnp.zeros((ny, nx), jnp.float32) for _ in range(n_acc)]
+    acc = [jnp.zeros((by, nx), jnp.float32) for _ in range(n_acc)]
+    ny = by  # receiver rows in this block
 
     for tz in range(w_len):
         jz = tz - hw
@@ -73,10 +76,14 @@ def _tv_kernel(hw, exponent, detect_curves, sigma, norm, want_den,
                 jy = ty - hw
                 jx = tx - hw
                 r2c = float(jz * jz + jy * jy + jx * jx)
-                w = float(np.exp(-r2c / (sigma * sigma)))
-                if w < trunc * (1.0 - 1e-6):
-                    continue  # corner-truncated tap: zero weight
-                w *= norm
+                # per-tap weight from the SAME normalized corner-
+                # truncated kernel as the XLA table (tv.tv_tables /
+                # gen_gauss_kernel_3d), so tap sets and weights agree
+                # bitwise -- recomputing exp() here once disagreed on
+                # the r^2 == hw^2 corner shell at hw=3 (13% error)
+                w = float(ker[tz, ty, tx])
+                if w == 0.0:
+                    continue  # corner-truncated tap
                 ln = float(np.sqrt(r2c)) if r2c > 0 else 1.0
                 rx, ry, rz = jx / ln, jy / ln, jz / ln
                 y0 = hw - jy
@@ -139,7 +146,6 @@ def tv_dense_stick_pallas(
     hw = int(np.floor(sigma * truncate_ratio))
     w_len = 2 * hw + 1
     ker = K.gen_gauss_kernel_3d((sigma,) * 3, 2.0, (hw,) * 3)
-    norm = float(ker[hw, hw, hw])  # normalized kernel peak value = A
 
     sal = jnp.asarray(saliency, jnp.float32)
     if mask_src is not None:
@@ -150,36 +156,43 @@ def tv_dense_stick_pallas(
         sal_eff = sal
         md = jnp.ones_like(sal)
 
-    # row shapes padded to (8, 128) tile multiples so every slice keeps
-    # a clean layout story
-    nyp = -(-(ny + 2 * hw) // 8) * 8
-    nxp = -(-(nx + 2 * hw) // 128) * 128
+    # y is blocked (grid dim 1) so the VMEM slab scratch stays
+    # O(w_len * by * X) no matter how large the volume is: 4 fields x
+    # w_len x (by + 2hw) x X_pad floats must fit the ~16 MB scoped
+    # VMEM budget (the unblocked kernel OOM'd at >= 384^3, hw >= 3)
     n_ch = 7 if want_denominator else 6
     n_fields = 5 if want_denominator else 4
-
-    pad = [(hw, hw), (hw, nyp - ny - hw), (hw, nxp - nx - hw)]
+    nxp = -(-(nx + 2 * hw) // 128) * 128
+    by = min(64, -(-ny // 8) * 8)
+    n_yblk = -(-ny // by)
+    slab_ny = -(-(by + 2 * hw) // 8) * 8
+    # fields padded so every (j*by .. j*by+slab_ny) slab is in bounds
+    ny_field = (n_yblk - 1) * by + slab_ny
+    pad = [(hw, hw), (hw, ny_field - ny - hw), (hw, nxp - nx - hw)]
     fields = [jnp.pad(f, pad) for f in
               ([sal_eff, nvec[..., 0], nvec[..., 1], nvec[..., 2], md]
                [:n_fields])]
 
     kern = functools.partial(
-        _tv_kernel, hw, exponent, detect_curves, sigma, norm,
-        want_denominator, ny, nx)
+        _tv_kernel, hw, exponent, detect_curves, ker,
+        want_denominator, by, nx)
 
     out = pl.pallas_call(
         kern,
-        grid=(nz,),
+        grid=(nz, n_yblk),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_fields,
-        out_specs=pl.BlockSpec((n_ch, 1, ny, nx),
-                               lambda i: (0, i, 0, 0),
+        out_specs=pl.BlockSpec((n_ch, 1, by, nx),
+                               lambda i, j: (0, i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_ch, nz, ny, nx), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_ch, nz, n_yblk * by, nx),
+                                       jnp.float32),
         scratch_shapes=(
-            [pltpu.VMEM((w_len, nyp, nxp), jnp.float32)] * n_fields
+            [pltpu.VMEM((w_len, slab_ny, nxp), jnp.float32)] * n_fields
             + [pltpu.SemaphoreType.DMA((n_fields,))]),
         interpret=interpret,
     )(*fields)
 
+    out = out[:, :, :ny]
     vote = jnp.moveaxis(out[:6], 0, -1)
     den = out[6] if want_denominator else None
     return vote, den
