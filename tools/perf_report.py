@@ -1,0 +1,363 @@
+"""Per-kernel TPU performance report + roofline analysis.
+
+Measures each stage of the flagship membrane pipeline on the real TPU
+chip, estimates bytes moved per voxel, and reports the achieved
+fraction of HBM speed-of-light (the relevant roofline: every stage
+except tensor voting is bandwidth-bound; TV is VPU-FMA-bound on the
+Pallas path and MXU-bound on the moment-convolution path).
+
+Also runs a real-TPU parity check of the three TV formulations
+(XLA shift-sum, Pallas row-streaming, MXU moment expansion) against
+each other, which gates the Pallas default (features/tv.py).
+
+Writes PERF.json and PERF.md at the repo root.  Run standalone (never
+concurrently with tests/bench: the axon tunnel serializes TPU claims):
+
+    python tools/perf_report.py [--size 128] [--iters 30]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# published HBM bandwidth per chip generation (bytes/s)
+HBM_BW = {
+    "TPU v5 lite": 819e9,   # v5e
+    "TPU v5e": 819e9,
+    "TPU v5": 2765e9,       # v5p
+    "TPU v5p": 2765e9,
+    "TPU v4": 1228e9,
+    "TPU v6 lite": 1638e9,  # v6e (Trillium)
+    "TPU v6e": 1638e9,
+}
+# VPU f32 FMA throughput estimate (FLOP/s counting mul+add as 2):
+# 8 sublanes x 128 lanes x 4 ALUs x 2 x clock(0.94 GHz v5e)
+VPU_F32 = {
+    "TPU v5 lite": 7.7e12 / 2,   # ~3.9 TFLOP/s f32 vector
+}
+
+
+def _bench(fn, args, iters, perturb):
+    """Time ``iters`` chained dispatches: each jitted call computes the
+    stage once and folds the output into the carry (so no call can be
+    elided), the Python loop queues them asynchronously on the remote
+    device, and ONE scalar fetch at the end synchronizes the chain.
+    (A fori_loop variant hit XLA while-loop buffer-placement bugs --
+    pallas outputs pinned to scoped VMEM -- and block_until_ready is a
+    NO-OP on the axon backend, so a value fetch is the only sync.)"""
+    import jax
+    import jax.numpy as _jnp
+
+    jl = jax.jit(lambda c, *a: perturb(c, fn(c, *a)))
+
+    def force(o):
+        leaves = jax.tree_util.tree_leaves(o)
+        return float(_jnp.ravel(leaves[0])[0])
+
+    c = jl(*args)
+    force(c)   # warm / compile
+    c = args[0]
+    t0 = time.time()
+    for _ in range(iters):
+        c = jl(c, *args[1:])
+    force(c)
+    return (time.time() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--out-prefix", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PERF"))
+    ap.add_argument("--tv-size", type=int, default=256,
+                    help="TV stages use min(size, tv_size): larger "
+                         "volumes exceed the axon tunnel request cap")
+    ap.add_argument("--stages", default="all",
+                    help="comma list: gauss,hessian,eig,tv,pipeline")
+    cfg = ap.parse_args()
+    stages = set(cfg.stages.split(","))
+
+    def want(s):
+        return "all" in stages or s in stages
+
+    import jax
+    import jax.numpy as jnp
+    from visfd_tpu.ops import kernels as K
+    from visfd_tpu.ops.conv import _conv1d_axis_impl
+    from visfd_tpu.features import tv as TV
+    from visfd_tpu.features import hessian as FH
+    from visfd_tpu.ops.tv_pallas import tv_dense_stick_pallas
+    try:  # removed after losing the r2 bake-off (see PERF.md epilogue)
+        from visfd_tpu.features.tv_moments import tv_dense_stick_moments
+    except ImportError:
+        tv_dense_stick_moments = None
+    from visfd_tpu.linalg import sym3
+
+    dev = jax.devices()[0]
+    kind = dev.device_kind
+    hbm = HBM_BW.get(kind, 819e9)
+    vpu = VPU_F32.get(kind, 3.9e12)
+    n = cfg.size
+    nvox = n ** 3
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(n, n, n)).astype(np.float32))
+
+    results = {}
+
+    def record(name, dt, bytes_per_vox=None, flops_per_vox=None,
+               note="", vox=None):
+        vps = (vox or nvox) / dt
+        row = {"voxels_per_s": vps, "ms_per_volume": dt * 1e3,
+               "note": note}
+        if bytes_per_vox:
+            row["gbytes_per_s"] = vps * bytes_per_vox / 1e9
+            row["hbm_fraction"] = vps * bytes_per_vox / hbm
+        if flops_per_vox:
+            row["gflops_per_s"] = vps * flops_per_vox / 1e9
+            row["vpu_fraction"] = vps * flops_per_vox / vpu
+        results[name] = row
+        print(f"{name}: {vps/1e6:.1f} Mvox/s"
+              + (f", {row['gbytes_per_s']:.0f} GB/s"
+                 f" = {100*row['hbm_fraction']:.0f}% HBM SoL"
+                 if bytes_per_vox else "")
+              + (f", {row['gflops_per_s']/1e3:.2f} TFLOP/s"
+                 f" = {100*row['vpu_fraction']:.0f}% VPU"
+                 if flops_per_vox else ""),
+              file=sys.stderr)
+
+    def scalar_perturb(carry, out):
+        return carry + jnp.mean(out) * 1e-30
+
+    # ---- 1. separable Gaussian (sigma=2, 11-tap x 3 axes) ----
+    sigma = 2.0
+    hw = int(np.floor(sigma * 2.5))
+    k1 = jnp.asarray(K.gauss_kernel_1d(sigma, hw))
+
+    def gauss(v, k1):
+        v = _conv1d_axis_impl(v, k1, 0)
+        v = _conv1d_axis_impl(v, k1, 1)
+        return _conv1d_axis_impl(v, k1, 2)
+
+    if want("gauss"):
+        dt = _bench(gauss, (x, k1), cfg.iters, scalar_perturb)
+        # 3 fused passes: each reads + writes the volume once
+        record("separable_gauss_s2", dt, bytes_per_vox=6 * 4,
+               flops_per_vox=3 * (2 * hw + 1) * 2,
+               note=f"3x {2*hw+1}-tap shift-sum passes")
+
+    # ---- 2. FD gradient+Hessian ----
+    def hess(v):
+        return FH.hessian_fd(v)
+
+    if want("hessian"):
+        dt = _bench(hess, (x,), cfg.iters, scalar_perturb)
+        record("hessian_fd", dt, bytes_per_vox=(1 + 6) * 4,
+               note="read 1ch, write 6ch flat Hessian")
+
+    # ---- 3. closed-form sym3 eigensolvers ----
+    # multi-channel fields at full 384^3 overflow 16 GB HBM with the
+    # solver's intermediates; cap like the TV stages
+    n_eig = min(n, cfg.tv_size)
+    hfield = FH.hessian_fd(x[:n_eig, :n_eig, :n_eig])  # (Z,Y,X,6)
+
+    def eig_principal(h):
+        vals, vecs = sym3.principal_sym3(
+            sym3.flat_to_full(h), order=sym3.EigenOrder.DECREASING)
+        return vals[..., 0] + vecs[..., 0]
+
+    def tens_perturb(carry, out):
+        return carry + out[..., None] * 1e-30
+
+    if want("eig"):
+        dt = _bench(eig_principal, (hfield,), cfg.iters, tens_perturb)
+        record("sym3_principal", dt, bytes_per_vox=(6 + 4) * 4,
+               note="closed-form trig roots + principal eigenvector",
+               vox=n_eig ** 3)
+
+    def eig_full(h):
+        vals, vecs = sym3.diagonalize_sym3(
+            sym3.flat_to_full(h), order=sym3.EigenOrder.DECREASING)
+        return vals[..., 0] + vecs[..., 0, 0]
+
+    if want("eig"):
+        dt = _bench(eig_full, (hfield,), cfg.iters, tens_perturb)
+        record("sym3_full", dt, bytes_per_vox=(6 + 12) * 4,
+               note="all eigenvalues + eigenvectors", vox=n_eig ** 3)
+
+    # ---- 4. tensor voting at hw in {2, 3, 5} ----
+    n_tv = min(n, cfg.tv_size)
+    x_tv = x[:n_tv, :n_tv, :n_tv]
+    h_tv = hfield[:n_tv, :n_tv, :n_tv]  # hfield is already capped
+    sal = jnp.abs(x_tv)
+    nrm = jnp.sqrt(jnp.sum(h_tv[..., :3] ** 2, -1, keepdims=True))
+    nvec = h_tv[..., :3] / jnp.maximum(nrm, 1e-12)
+
+    def tv_flops(hw_):
+        # ~30 FMA-ish ops per non-truncated tap (tv_pallas inner body)
+        ker = K.gen_gauss_kernel_3d((hw_ / np.sqrt(2),) * 3, 2.0, (hw_,) * 3)
+        taps = int((ker > 0).sum())
+        return taps * 30
+
+    parity = {}
+    for hw_ in ((2, 3, 5) if want("tv") else ()):
+        tv_sigma = hw_ / np.sqrt(2.0) + 1e-6  # floor(sigma*sqrt2) == hw
+        w_np, rh_np, off_np, hw_chk = TV.tv_tables(tv_sigma, np.sqrt(2.0))
+        assert hw_chk == hw_, (hw_chk, hw_)
+        tabs = (jnp.asarray(w_np), jnp.asarray(rh_np), jnp.asarray(off_np))
+
+        def tv_xla(s, nv, w_t, rh_t, off_t, hw_=hw_):
+            pad = [(hw_, hw_)] * 3
+            vote, _ = TV.tv_accumulate_padded(
+                jnp.pad(s, pad), jnp.pad(nv, pad + [(0, 0)]),
+                jnp.pad(jnp.ones_like(s), pad), s.shape,
+                w_t, rh_t, off_t, 4, False, hw_, False)
+            return vote
+
+        def tv_pal(s, nv, tv_sigma=tv_sigma):
+            vote, _ = tv_dense_stick_pallas(
+                s, nv, tv_sigma, exponent=4,
+                truncate_ratio=float(np.sqrt(2.0)))
+            return vote
+
+        def tv_mom(s, nv, tv_sigma=tv_sigma):
+            return tv_dense_stick_moments(
+                s, nv, tv_sigma, exponent=4,
+                truncate_ratio=float(np.sqrt(2.0)))
+
+        def tv_perturb(carry, out):
+            return carry + jnp.mean(out) * 1e-30
+
+        fl = tv_flops(hw_)
+        variants = [(f"tv_xla_hw{hw_}", tv_xla, tabs),
+                    (f"tv_pallas_hw{hw_}", tv_pal, ())]
+        if tv_dense_stick_moments is not None:
+            variants.append((f"tv_moments_hw{hw_}", tv_mom, ()))
+        for name, fn, extra in variants:
+            try:
+                dt = _bench(lambda s, *a, _f=fn: _f(s, nvec, *a),
+                            (sal,) + extra, max(3, cfg.iters // 3),
+                            tv_perturb)
+            except Exception as e:
+                print(f"{name}: FAILED ({type(e).__name__}: {e})",
+                      file=sys.stderr)
+                results[name] = {"error": str(e)}
+                continue
+            bpv = None
+            if "pallas" in name:
+                bpv = (4 * (2 * hw_ + 1) + 6) * 4  # row re-reads + out
+            record(name, dt, bytes_per_vox=bpv, flops_per_vox=fl,
+                   note=f"window {2*hw_+1}^3, exponent 4, {n_tv}^3",
+                   vox=n_tv ** 3)
+
+        # real-TPU parity of the three formulations (small volume)
+        s_par = sal[:32, :32, :32]
+        n_par = nvec[:32, :32, :32]
+        ref = np.asarray(tv_xla(s_par, n_par, *tabs))
+        scale = np.abs(ref).max() + 1e-30
+        par_variants = [("pallas", tv_pal)]
+        if tv_dense_stick_moments is not None:
+            par_variants.append(("moments", tv_mom))
+        for name, fn in par_variants:
+            try:
+                got = np.asarray(fn(s_par, n_par))
+                parity[f"{name}_hw{hw_}"] = float(
+                    np.abs(got - ref).max() / scale)
+            except Exception as e:
+                parity[f"{name}_hw{hw_}"] = f"error: {e}"
+        print(f"parity hw={hw_}: " + str({k: v for k, v in parity.items()
+                                          if k.endswith(str(hw_))}),
+              file=sys.stderr)
+
+    # ---- 5. full pipeline (the bench.py number), both TV paths ----
+    import bench as BENCH
+    x_pipe = x[:n_tv, :n_tv, :n_tv]
+    for mode in (("pallas", "jnp") if want("pipeline") else ()):
+        step, tables = BENCH.build_step(mode)
+
+        def piped(v, *tabs):
+            out = step(v, *tabs)
+            return out / (jnp.max(jnp.abs(out)) + 1e-30)
+
+        dt = _bench(lambda c, *t: piped(c, *t), (x_pipe,) + tables,
+                    max(3, cfg.iters // 3), lambda c, o: o)
+        record(f"pipeline_{mode}", dt, vox=n_tv ** 3,
+               note=f"blur->hessian->eigh->saliency->TV(hw2)->eigh->"
+                    f"stick, {n_tv}^3")
+
+    report = {
+        "device_kind": kind,
+        "hbm_bytes_per_s": hbm,
+        "vpu_f32_flops": vpu,
+        "volume": [n, n, n],
+        "stages": results,
+        "tv_parity_max_rel_vs_xla": parity,
+    }
+    with open(cfg.out_prefix + ".json", "w") as f:
+        json.dump(report, f, indent=1)
+
+    lines = [
+        "# Per-kernel TPU performance report",
+        "",
+        f"Chip: **{kind}** (HBM speed-of-light {hbm/1e9:.0f} GB/s, "
+        f"VPU f32 ~{vpu/1e12:.1f} TFLOP/s).  Volume {n}^3 f32.",
+        "Timings: chains of async dispatches synchronized by one value",
+        "fetch (block_until_ready is a no-op on the axon backend).",
+        "GB/s and %SoL assume MINIMUM possible traffic (perfect tap",
+        "fusion), so they are lower bounds on achieved bandwidth.",
+        "",
+        "| stage | Mvox/s | GB/s | % HBM SoL | TFLOP/s | % VPU | note |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, row in results.items():
+        if "error" in row:
+            err = row["error"].splitlines()[0][:60]
+            lines.append(f"| {name} | FAILED | | | | | {err} |")
+            continue
+        gb = f"{row['gbytes_per_s']:.0f}" if "gbytes_per_s" in row else ""
+        hf = (f"{100*row['hbm_fraction']:.0f}%"
+              if "hbm_fraction" in row else "")
+        tf = (f"{row['gflops_per_s']/1e3:.2f}"
+              if "gflops_per_s" in row else "")
+        vf = (f"{100*row['vpu_fraction']:.0f}%"
+              if "vpu_fraction" in row else "")
+        lines.append(f"| {name} | {row['voxels_per_s']/1e6:.1f} | {gb} |"
+                     f" {hf} | {tf} | {vf} | {row['note']} |")
+    lines += [
+        "",
+        "## TV formulation parity on real TPU (max rel vs XLA shift-sum)",
+        "",
+    ]
+    for k_, v in parity.items():
+        txt = v if isinstance(v, str) else f"{v:.2e}"
+        lines.append(f"- {k_}: {txt.splitlines()[0][:120]}")
+    lines += [
+        "",
+        "## Formulation bake-off decisions",
+        "",
+        "- **Pallas row-streaming is the default TV path on TPU for",
+        "  hw <= 4** (features/tv.py): measured ~8-10x over the XLA",
+        "  shift-sum at hw 2-3, parity < 1e-6 after the r2 tap-table",
+        "  fix.  hw >= 5 windows exceed the kernel's VMEM scratch plan",
+        "  and route to XLA.",
+        "- **The MXU moment-expansion formulation (tv_moments) was",
+        "  deleted** after losing the round-2 bake-off on real v5e:",
+        "  7.1 Mvox/s (hw2) / 2.7 Mvox/s (hw3) vs 485 / ~340 Mvox/s",
+        "  for Pallas -- the 84-moment-channel materialization is",
+        "  bandwidth-bound and the f32-HIGHEST conv gets no MXU",
+        "  advantage.  (Parity was fine: ~9e-7.)",
+    ]
+    with open(cfg.out_prefix + ".md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({"written": [cfg.out_prefix + ".json",
+                                  cfg.out_prefix + ".md"]}))
+
+
+if __name__ == "__main__":
+    main()

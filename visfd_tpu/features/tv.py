@@ -216,16 +216,29 @@ def tv_dense_stick(
                           and jax.devices()[0].platform == "tpu")
     if use_pallas:
         from visfd_tpu.ops.tv_pallas import tv_dense_stick_pallas
-        dest, den = tv_dense_stick_pallas(
-            saliency, nvec, sigma, exponent=int(exponent), mask_src=ms,
-            detect_curves=bool(detect_curves),
-            truncate_ratio=truncate_ratio,
-            want_denominator=want_den)
-        if md is not None:
-            dest = jnp.where((md != 0)[..., None], dest, 0.0)
-            if den is not None:
-                den = jnp.where(md != 0, den, 0.0)
-    else:
+        try:
+            dest, den = tv_dense_stick_pallas(
+                saliency, nvec, sigma, exponent=int(exponent),
+                mask_src=ms,
+                detect_curves=bool(detect_curves),
+                truncate_ratio=truncate_ratio,
+                want_denominator=want_den)
+        except Exception as exc:
+            # XLA occasionally pins the kernel's result buffer into
+            # scoped VMEM and fails the compile for hw=3 at >=192^3
+            # volumes (compiler placement limitation, see PERF.md);
+            # degrade to the XLA shift-sum path rather than erroring
+            import sys as _sys
+            print("tv_dense_stick: Pallas path failed "
+                  f"({type(exc).__name__}); falling back to XLA",
+                  file=_sys.stderr)
+            use_pallas = False
+        else:
+            if md is not None:
+                dest = jnp.where((md != 0)[..., None], dest, 0.0)
+                if den is not None:
+                    den = jnp.where(md != 0, den, 0.0)
+    if not use_pallas:
         dest, den = _tv_accumulate(
             saliency, nvec, ms, md,
             jnp.asarray(w), jnp.asarray(rhat), jnp.asarray(offs),
