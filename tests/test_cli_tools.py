@@ -158,3 +158,51 @@ def test_voxelize_mesh_cube(tmp_path):
     assert occ[0, 0, 0] == 0.0
     # interior volume ~ 5^3
     assert 100 < occ.sum() < 220
+
+
+# --- goldens produced by the compiled C++ reference tools ---
+
+import pathlib
+
+GOLDEN = pathlib.Path(__file__).parent / "golden"
+FIXREC = pathlib.Path("/root/reference/tests/test_blob_detect.rec")
+
+
+@pytest.mark.skipif(not FIXREC.exists(), reason="no reference fixtures")
+@pytest.mark.parametrize("op,name", [("+", "add"), ("*", "mul")])
+def test_combine_mrc_golden(tmp_path, op, name):
+    # combine_mrc ref_gauss.mrc OP FIX ref_combine_NAME.mrc
+    from visfd_tpu.cli import combine_mrc as CM
+    out = tmp_path / "out.mrc"
+    assert CM.run([str(GOLDEN / "ref_gauss.mrc"), op, str(FIXREC),
+                   str(out)]) == 0
+    got = mrc.read_mrc(out).data
+    want = mrc.read_mrc(GOLDEN / f"ref_combine_{name}.mrc").data
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.skipif(not FIXREC.exists(), reason="no reference fixtures")
+@pytest.mark.parametrize("args,golden", [
+    ([], "ref_sum.txt"),          # sum_voxels FIX
+    (["-ave"], "ref_sum_ave.txt"),  # sum_voxels -ave FIX
+])
+def test_sum_voxels_golden(capsys, args, golden):
+    from visfd_tpu.cli import sum_voxels as SV
+    assert SV.run(args + [str(FIXREC)]) == 0
+    got = capsys.readouterr().out.strip().splitlines()[-1]
+    want = (GOLDEN / golden).read_text().strip()
+    assert got == want
+
+
+@pytest.mark.skipif(not FIXREC.exists(), reason="no reference fixtures")
+def test_pval_mrc_golden(capsys):
+    # pval_mrc -in FIX -w 1 -crds ref_keep.txt -gauss 3 -max
+    # (ref_keep.txt is a 5-column blob list: exercises the reference's
+    # raw-triple-stream coordinate reading, replicated exactly)
+    from visfd_tpu.cli import pval_mrc as PV
+    assert PV.run(["-in", str(FIXREC), "-w", "1",
+                   "-crds", str(GOLDEN / "ref_keep.txt"),
+                   "-gauss", "3", "-max"]) == 0
+    got = capsys.readouterr().out.strip()
+    want = (GOLDEN / "ref_pval.txt").read_text().strip()
+    assert got == want

@@ -43,7 +43,8 @@ def run(argv) -> int:
     vol_total = -1.0
     use_min = True
     truncate_ratio = -1.0
-    truncate_threshold = 0.03
+    truncate_threshold = 0.02   # pval's own default (settings.cpp:37)
+    image_size = None
     i = 0
     pos = []
     while i < len(args):
@@ -74,12 +75,19 @@ def run(argv) -> int:
             num_particles = float(args[i + 1]); i += 1
         elif a in ("-vol", "-volume"):
             vol_total = float(args[i + 1]); i += 1
-        elif a == "-pmin":
+        elif a in ("-pmin", "-min", "-minima"):
             use_min = True
-        elif a == "-pmax":
+        elif a in ("-pmax", "-max", "-maxima"):
             use_min = False
+        elif a == "-image-size":
+            image_size = tuple(int(args[i + k]) for k in (1, 2, 3)); i += 3
+        elif a == "-np":
+            i += 1  # thread count: meaningless here
         elif a == "-truncate":
             truncate_ratio = float(args[i + 1]); i += 1
+        elif a == "-truncate-threshold":
+            truncate_threshold = float(args[i + 1])
+            truncate_ratio = -1.0; i += 1
         elif a.startswith("-"):
             print(f"Error: unrecognized argument {a}", file=sys.stderr)
             return 1
@@ -88,13 +96,21 @@ def run(argv) -> int:
         i += 1
     if not in_name and pos:
         in_name = pos[0]
-    if not in_name or not sigmas:
-        print("Usage: pval_mrc -in f.mrc -gauss sigma [-pmin|-pmax] ...",
+    if (not in_name and image_size is None) or not sigmas:
+        print("Usage: pval_mrc -in f.mrc -gauss sigma [-min|-max] ...",
               file=sys.stderr)
         return 1
 
-    img = mrc.read_mrc(in_name)
-    w = np.asarray(img.voxel_width_xyz)
+    if in_name:
+        img = mrc.read_mrc(in_name)
+        w = np.asarray(img.voxel_width_xyz)
+        x = img.data
+    else:
+        # -image-size Nx Ny Nz with a -crds point cloud
+        nx_, ny_, nz_ = image_size
+        x = np.zeros((nz_, ny_, nx_), np.float32)
+        img = None
+        w = np.ones(3)
     if voxel_width > 0:
         w = np.full(3, voxel_width)
     if a2nm:
@@ -102,20 +118,33 @@ def run(argv) -> int:
     if (w <= 0).any():
         w = np.ones(3)
     mask = mrc.read_mrc(mask_name).data if mask_name else None
-
-    x = img.data
     if coords_name:
-        x = np.zeros_like(img.data)
-        with open(coords_name) as f:
-            for ln in f:
-                t = ln.split()
-                if len(t) < 3:
-                    continue
-                cx, cy, cz = (int(float(v) / w[d])
-                              for d, v in enumerate(t[:3]))
-                if (0 <= cx < x.shape[2] and 0 <= cy < x.shape[1]
-                        and 0 <= cz < x.shape[0]):
-                    x[cz, cy, cx] = 1.0
+        # the reference consumes the file as a RAW WHITESPACE STREAM
+        # of floats in triples (pval_mrc.cpp:130-143) -- not per line.
+        # Multi-column files (e.g. blob lists with diameter+score)
+        # therefore yield extra "points", and C++ stream semantics
+        # plant one more point with stale components when the token
+        # count is not a multiple of 3.  Replicated exactly.
+        x = np.zeros_like(x)
+        vals = [float(t) for t in open(coords_name).read().split()]
+        px = py = pz = 0.0
+        j = 0
+        while True:  # while(stream) checks BEFORE the reads
+            if j < len(vals):
+                px = vals[j]
+            if j + 1 < len(vals):
+                py = vals[j + 1]
+            if j + 2 < len(vals):
+                pz = vals[j + 2]
+            cx = int(px / w[0])
+            cy = int(py / w[1])
+            cz = int(pz / w[2])
+            if (0 <= cx < x.shape[2] and 0 <= cy < x.shape[1]
+                    and 0 <= cz < x.shape[0]):
+                x[cz, cy, cx] = 1.0
+            if j + 3 > len(vals):  # a read failed: stream went bad
+                break
+            j += 3
 
     voxel_vol = float(w[0] * w[1] * w[2])
     if vol_total < 0:
@@ -168,13 +197,16 @@ def run(argv) -> int:
                 for i2 in range(int(floor(k))))
             cdf = 1.0 - below
         prob_total = 1.0 - (1.0 - cdf) ** num_bins
-        eff_bin = (v_bin / voxel_vol) ** (1.0 / 3) * w[0]
+        # matches the reference exactly, including its extra factor of
+        # voxel_width on top of the already-physical bin volume
+        # (pval_mrc.cpp:479-480)
+        eff_bin = v_bin ** (1.0 / 3) * w[0]
         print(f"{prob_total:.6g} {extreme:.6g} {ix} {iy} {iz} "
               f"{eff_bin:.6g}")
 
     if out_name and len(sigmas) == 1 and out_img is not None:
         mrc.write_mrc(out_name, out_img.astype(np.float32),
-                      header=img.header)
+                      header=img.header if img is not None else None)
     return 0
 
 
