@@ -82,6 +82,11 @@ def _img(path):
     ("thresh2", ["-thresh2", "80", "120"], True),
     ("thresh4", ["-thresh4", "70", "90", "110", "130"], True),
     ("clip", ["-clip", "80", "120"], True),
+    # anisotropic variants
+    ("gauss_aniso", ["-gauss-aniso", "2", "3", "1.5"], False),
+    ("dog_aniso", ["-dog-aniso", "2", "3", "1.5", "4", "5", "3"], False),
+    ("dogg_aniso", ["-dogg-aniso", "2", "3", "1.5", "4", "5", "3",
+                    "-exponents", "3", "4"], False),
     # NOTE: no ``-median`` golden: the reference's Median() never
     # advances its footprint iterator when a neighbor is out of bounds
     # (``filter3d.hpp:1600-1618``: ``continue`` without ``pVoxel++``),
@@ -290,6 +295,21 @@ def test_subprocess_entry_point():
         env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"})
     assert proc.returncode == 1
     assert "Error" in proc.stderr
+
+
+def test_membrane_background_golden(tmp_path):
+    # filter_mrc -w 19.2 -in MEM -out ref_memb_bg.mrc -membrane minima 55
+    #   -tv 4 -bin 2 -membrane-background 110
+    # (the double-Gauss background-subtraction branch,
+    #  handlers.cpp:1577-1605)
+    out = tmp_path / "out.mrc"
+    run_cli(["-in", str(MEM), "-out", str(out), "-w", "19.2",
+             "-membrane", "minima", "55", "-tv", "4", "-bin", "2",
+             "-membrane-background", "110"])
+    ref = _img(GOLDEN / "ref_memb_bg.mrc")
+    ours = _img(out)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(ours, ref, atol=2e-5 * scale)
 
 
 def test_membrane_golden(tmp_path):
