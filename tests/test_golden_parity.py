@@ -229,6 +229,39 @@ def test_membrane_connect_flagship_golden(tmp_path):
                                atol=1e-4 * nscale)  # unnormalized normals
 
 
+def test_membrane_connect_flagship_mesh_golden(tmp_path):
+    """The flagship two-phase pipeline with ``-mesh 8`` (dense voxel
+    stages GSPMD-sharded over the forced 8-device CPU mesh) must stay
+    bit-identical to the reference goldens: sharding the mesh may not
+    change a single voxel of the cluster labels or a single PLY
+    vertex."""
+    out = tmp_path / "memb.mrc"
+    ply = tmp_path / "memb.ply"
+    base = str(tmp_path / "prog")
+    common = ["-w", "19.2", "-in", str(MEM), "-out", str(out),
+              "-membrane", "minima", "55", "-tv", "4",
+              "-tv-angle-exponent", "4", "-bin", "2", "-mesh", "8"]
+    run_cli(common + ["-save-progress", base])
+    for d in range(6):
+        ours_t = _img(f"{base}_tensor_{d}.rec")
+        ref_t = _img(GOLDEN / f"ref_prog_tensor_{d}.rec")
+        scale = np.abs(ref_t).max()
+        np.testing.assert_allclose(ours_t, ref_t, atol=5e-6 * scale)
+    run_cli(common + ["-load-progress", base,
+                      "-connect", "1e+09", "-connect-angle", "30",
+                      "-normals-file", str(ply), "-select-cluster", "1"])
+    np.testing.assert_array_equal(_img(out),
+                                  _img(GOLDEN / "ref_memb_conn.mrc"))
+    ours_ply = _load_ply(ply)
+    ref_ply = _load_ply(GOLDEN / "ref_memb.ply")
+    assert ours_ply.shape == ref_ply.shape
+    np.testing.assert_allclose(ours_ply[:, :3], ref_ply[:, :3],
+                               atol=1e-3)
+    nscale = np.abs(ref_ply[:, 3:]).max()
+    np.testing.assert_allclose(ours_ply[:, 3:], ref_ply[:, 3:],
+                               atol=1e-4 * nscale)
+
+
 def test_membrane_sharded_checkpoint_golden(tmp_path):
     """The orbax sharded phase checkpoint (-save/-load-progress-sharded
     extensions) resumes the flagship pipeline to the same bit-exact

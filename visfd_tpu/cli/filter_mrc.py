@@ -52,6 +52,29 @@ def _mask_or_none(mask_img):
     return None if mask_img is None else jnp.asarray(mask_img)
 
 
+def _cli_mesh(s: Settings):
+    """The (z, y) device mesh requested with ``-mesh``, or None."""
+    if not getattr(s, "mesh_devices", 0):
+        return None
+    from visfd_tpu.parallel.mesh import make_mesh
+    n = None if s.mesh_devices < 0 else s.mesh_devices
+    return make_mesh(n)
+
+
+def _maybe_shard(s: Settings, arr):
+    """device_put ``arr`` with the (z, y) grid sharding when -mesh is
+    active; GSPMD then partitions every dense stage consuming it (XLA
+    inserts the halo collectives -- same math, same results)."""
+    if arr is None:
+        return None
+    mesh = _cli_mesh(s)
+    if mesh is None:
+        return arr
+    import jax
+    from visfd_tpu.parallel.mesh import grid_sharding
+    return jax.device_put(jnp.asarray(arr), grid_sharding(mesh))
+
+
 def determine_voxel_width(s: Settings, img: mrc.MrcImage) -> np.ndarray:
     """``DetermineVoxelWidth`` (``handlers.cpp:2429-2531``)."""
     if s.voxel_width > 0:
@@ -608,8 +631,8 @@ def handle_tv(s, img, x_np, mask_np, w):
              else sym3.EigenOrder.DECREASING)
     sigma = s.width_a[0]
     tr = _truncate_ratio(s)
-    x = jnp.asarray(x_np)
-    mask = _mask_or_none(mask_np)
+    x = _maybe_shard(s, jnp.asarray(x_np))
+    mask = _maybe_shard(s, _mask_or_none(mask_np))
 
     background = None
     if s.width_b[0] > 0:
@@ -652,9 +675,11 @@ def handle_tv(s, img, x_np, mask_np, w):
         print(" -- sorting all voxels by ridge saliency --\n",
               file=sys.stderr)
         thr = fraction_threshold(
-            jnp.asarray(score.astype(np.float32)), thr,
+            _maybe_shard(s, jnp.asarray(score.astype(np.float32))), thr,
+            mesh=_cli_mesh(s),
             mask=None if mask_np is None
-            else jnp.asarray((mask_np != 0).astype(np.float32)))
+            else _maybe_shard(s, jnp.asarray(
+                (mask_np != 0).astype(np.float32))))
     score = np.where(score < thr, 0.0, score)
 
     vote = None
@@ -672,8 +697,9 @@ def handle_tv(s, img, x_np, mask_np, w):
         elif not s.load_intermediate_fname_base:
             with stage("dense stick tensor voting", rep):
                 vote = np.asarray(TV.tv_dense_stick(
-                    jnp.asarray(score.astype(np.float32)),
-                    jnp.asarray(direction.astype(np.float32)),
+                    _maybe_shard(s, jnp.asarray(score.astype(np.float32))),
+                    _maybe_shard(s, jnp.asarray(
+                        direction.astype(np.float32))),
                     s.tv_sigma, exponent=s.tv_exponent,
                     mask_src=mask, mask_dest=mask,
                     detect_curves=(s.filter_type == S.CURVE),
@@ -689,7 +715,8 @@ def handle_tv(s, img, x_np, mask_np, w):
             if mask_np is not None:
                 vote = vote * (mask_np != 0)[..., None]
         diag = np.asarray(sym3.diagonalize_flat_sym3(
-            jnp.asarray(vote.astype(np.float32)), order=order))
+            _maybe_shard(s, jnp.asarray(vote.astype(np.float32))),
+            order=order))
         if s.filter_type == S.CURVE:
             new_score = np.asarray(FH.score_tensor_linear(
                 jnp.asarray(diag[..., :3])))
@@ -739,7 +766,8 @@ def handle_tv(s, img, x_np, mask_np, w):
     if s.cluster_connected_voxels and vote is not None:
         # directions <- principal eigenvector of vote tensor
         _, vev1 = sym3.principal_sym3(
-            sym3.flat_to_full(jnp.asarray(vote.astype(np.float32))),
+            sym3.flat_to_full(_maybe_shard(
+                s, jnp.asarray(vote.astype(np.float32)))),
             order=order)
         direction = np.asarray(vev1)
         res = label_connected(
@@ -1099,6 +1127,9 @@ def run(argv) -> int:
     x_np = img.data
     x = jnp.asarray(x_np) if x_np.size else None
     mask = _mask_or_none(mask_np)
+    if s.mesh_devices:
+        x = _maybe_shard(s, x)
+        mask = _maybe_shard(s, mask)
     out = x_np.copy() if x_np.size else x_np
 
     ft = s.filter_type

@@ -218,6 +218,10 @@ class Settings:
     # extensions: mesh-sharded orbax phase checkpoints
     save_progress_sharded: str = ""
     load_progress_sharded: str = ""
+    # extension: shard the dense voxel stages over a (z, y) device
+    # mesh.  0 = single-device (default), -1 = all visible devices,
+    # N > 0 = first N devices.
+    mesh_devices: int = 0
 
     mask_regions: List[Region] = dataclasses.field(default_factory=list)
     is_mask_crds_in_voxels: bool = False
@@ -510,6 +514,14 @@ def parse_args(argv: List[str]) -> Settings:
             s.user_set_thickness_manually = True; n = 1
         elif a in ("-spheres-scale", "-sphere-scale"):
             need(1, "needs 1 arg"); s.sphere_decals_scale = f(1); n = 1
+        elif a == "-mesh":
+            # extension: run the dense voxel stages sharded over a
+            # (z, y) device mesh ("auto"/"all" = every visible device)
+            need(1, 'expects 1 argument (a device count or "auto")')
+            arg = args[i + 1]
+            s.mesh_devices = (-1 if arg in ("auto", "all")
+                              else int(arg))
+            n = 1
         elif a == "-watershed-device":
             # extension: device-resident steepest-descent watershed
             # (segment.propagate), mesh-sharded when several devices

@@ -198,8 +198,10 @@ def tv_dense_stick(
     XLA path is re-measured on hardware by tools/perf_report.py and
     recorded in PERF.md).  Default (None): consult the VISFD_TV_PALLAS
     env var if set ("1"/"0"), else Pallas IS the default on TPU for
-    windows it is tuned for (hw <= 4; compile size grows as
-    (2*hw+1)^3), XLA everywhere else (CPU tests, huge windows)."""
+    windows up to hw <= 8 (the kernel chunks the z-offsets so each
+    pallas_call body stays within the Mosaic compiler's unroll budget;
+    see ops/tv_pallas.py), XLA everywhere else (CPU tests, very large
+    windows where the per-chunk output re-accumulation dominates)."""
     import os
     w, rhat, offs, hw = tv_tables(sigma, truncate_ratio)
     saliency = jnp.asarray(saliency, jnp.float32)
@@ -207,13 +209,18 @@ def tv_dense_stick(
     ms = None if mask_src is None else jnp.asarray(mask_src, jnp.float32)
     md = None if mask_dest is None else jnp.asarray(mask_dest, jnp.float32)
     want_den = bool(normalize and ms is not None)
+    from visfd_tpu.ops.conv import _is_multidevice
     if use_pallas is None:
         env = os.environ.get("VISFD_TV_PALLAS")
         if env is not None:
             use_pallas = env == "1"
         else:
-            use_pallas = (hw <= 4
+            use_pallas = (hw <= 8
                           and jax.devices()[0].platform == "tpu")
+    if _is_multidevice(saliency):
+        # a >1-device GSPMD array cannot feed a single-device Pallas
+        # call; the XLA shift-sum path partitions under GSPMD instead
+        use_pallas = False
     if use_pallas:
         from visfd_tpu.ops.tv_pallas import tv_dense_stick_pallas
         try:

@@ -61,7 +61,42 @@ def conv1d_axis(x: jax.Array, kernel: jax.Array, axis: int) -> jax.Array:
     return _conv1d_axis_impl(x, jnp.asarray(kernel, jnp.float32), axis)
 
 
-def _sep3(x, kx, ky, kz):
+def _is_multidevice(x) -> bool:
+    """True when x is committed to a >1-device GSPMD sharding (a
+    single-device Pallas call cannot consume it)."""
+    sh = getattr(x, "sharding", None)
+    try:
+        return sh is not None and len(sh.device_set) > 1
+    except Exception:
+        return False
+
+
+def _use_pallas_blur(shape, klens) -> bool:
+    """Gate for the fused Pallas separable blur: TPU only, volumes big
+    enough to amortize the kernel, window sizes within the kernel's
+    budget.  VISFD_BLUR_PALLAS=0/1 overrides."""
+    import os
+
+    env = os.environ.get("VISFD_BLUR_PALLAS")
+    if env is not None:
+        return env == "1"
+    try:
+        if jax.devices()[0].platform != "tpu":
+            return False
+    except Exception:
+        return False
+    if len(shape) != 3:
+        return False
+    nz, ny, nx = shape
+    if nz * ny * nx < 96 ** 3 or ny < 8 or nx < 128:
+        return False
+    return all(k % 2 == 1 and k <= 61 for k in klens)
+
+
+def _sep3(x, kx, ky, kz, use_pallas: bool = False):
+    if use_pallas:
+        from visfd_tpu.ops.blur_pallas import _blur3_pallas_jit
+        return _blur3_pallas_jit(x, kz, ky, kx)
     out = _conv1d_axis_impl(x, kz, axis=0)
     out = _conv1d_axis_impl(out, ky, axis=1)
     out = _conv1d_axis_impl(out, kx, axis=2)
@@ -75,26 +110,26 @@ def _ones_denom_1d(kernel: jax.Array, n: int) -> jax.Array:
     return _conv1d_axis_impl(ones, kernel, axis=2)[0, 0]
 
 
-@jax.jit
-def _separable_conv3d_nomask(x, kx, ky, kz):
-    out = _sep3(x, kx, ky, kz)
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def _separable_conv3d_nomask(x, kx, ky, kz, use_pallas=False):
+    out = _sep3(x, kx, ky, kz, use_pallas)
     dz = _ones_denom_1d(kz, x.shape[0])[:, None, None]
     dy = _ones_denom_1d(ky, x.shape[1])[None, :, None]
     dx = _ones_denom_1d(kx, x.shape[2])[None, None, :]
     return out / (dz * dy * dx)
 
 
-@jax.jit
-def _separable_conv3d_masked(x, mask, kx, ky, kz):
-    out = _sep3(x * mask, kx, ky, kz)
-    den = _sep3(mask, kx, ky, kz)
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def _separable_conv3d_masked(x, mask, kx, ky, kz, use_pallas=False):
+    out = _sep3(x * mask, kx, ky, kz, use_pallas)
+    den = _sep3(mask, kx, ky, kz, use_pallas)
     return jnp.where(den > 0, out / jnp.where(den > 0, den, 1.0), out)
 
 
-@jax.jit
-def _separable_conv3d_raw(x, mask, kx, ky, kz):
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def _separable_conv3d_raw(x, mask, kx, ky, kz, use_pallas=False):
     src = x if mask is None else x * mask
-    return _sep3(src, kx, ky, kz)
+    return _sep3(src, kx, ky, kz, use_pallas)
 
 
 def separable_conv3d(
@@ -114,13 +149,17 @@ def separable_conv3d(
     """
     kx, ky, kz = (jnp.asarray(np.asarray(k), jnp.float32) for k in kernels_xyz)
     x = jnp.asarray(x, jnp.float32)
+    up = (_use_pallas_blur(x.shape, (kx.shape[0], ky.shape[0], kz.shape[0]))
+          and not _is_multidevice(x))
     if not normalize:
         if mask is None:
-            return _separable_conv3d_raw(x, None, kx, ky, kz)
-        return _separable_conv3d_raw(x, jnp.asarray(mask, jnp.float32), kx, ky, kz)
+            return _separable_conv3d_raw(x, None, kx, ky, kz, use_pallas=up)
+        return _separable_conv3d_raw(x, jnp.asarray(mask, jnp.float32),
+                                     kx, ky, kz, use_pallas=up)
     if mask is None:
-        return _separable_conv3d_nomask(x, kx, ky, kz)
-    return _separable_conv3d_masked(x, jnp.asarray(mask, jnp.float32), kx, ky, kz)
+        return _separable_conv3d_nomask(x, kx, ky, kz, use_pallas=up)
+    return _separable_conv3d_masked(x, jnp.asarray(mask, jnp.float32),
+                                    kx, ky, kz, use_pallas=up)
 
 
 @functools.partial(jax.jit, static_argnames=("normalize",))

@@ -1,13 +1,13 @@
 """Pallas TPU kernel for dense stick tensor voting.
 
-One receiver z-row per grid step; the (2*hw+1) haloed source rows of
-each field are DMA'd to VMEM once and the whole (2*hw+1)^3 vote loop
-runs as straight-line 2-D vector code with STATIC offsets only --
-no dynamic slices, no rolls, no 3-D vector ops (each of those made
-the Mosaic/axon compiler either explode or emit slow code; see git
-history for the graveyard).  Vote accumulators live in registers
-across the loop, so HBM traffic is ~(2*hw+1) passes over the volume
-and the kernel is bounded by VPU shift+FMA throughput.
+One receiver z-row per grid step; the haloed source rows of each field
+are DMA'd to VMEM once and the whole vote loop runs as straight-line
+2-D vector code with STATIC offsets only -- no dynamic slices, no
+rolls, no 3-D vector ops (each of those made the Mosaic/axon compiler
+either explode or emit slow code; see git history for the graveyard).
+Vote accumulators live in registers across the loop, so HBM traffic is
+~(2*hw+1) passes over the volume and the kernel is bounded by VPU
+shift+FMA throughput.
 
 The radial weight exp(-(|j|/sigma)^2) (with the reference's corner
 truncation, ``filter3d.hpp:556-586``) and the unit displacement
@@ -18,8 +18,17 @@ vote weight factorizes; see feature.hpp:2262-2292) and accumulates the
 normalization denominator as a 7th channel when requested.  Matches
 ``TV.tv_dense_stick(..., normalize=False)`` to f32 roundoff.
 
-Intended for small/medium windows (hw <= ~4: compile size grows as
-(2*hw+1)^3); ``features.tv`` is the general XLA fallback.
+Two compile-size safeguards (round 3):
+
+* the kernel result lives in HBM (``pl.ANY``) and is written by an
+  explicit VMEM->HBM DMA from a scratch accumulator -- letting XLA
+  place the custom-call result itself used to pin the full (6, Z, Y, X)
+  array into scoped VMEM and fail compilation for hw >= 3 at volumes
+  >= ~192^3;
+* large windows are split over several ``pallas_call``s, each handling
+  a chunk of z-offsets (the per-call unrolled tap count stays below
+  ``_MAX_TAPS_PER_CALL``; hw=5's 1331-tap single-call body blew the
+  Mosaic compiler stack).  Partial vote tensors are summed in XLA.
 """
 
 from __future__ import annotations
@@ -35,22 +44,48 @@ from jax.experimental.pallas import tpu as pltpu
 
 from visfd_tpu.ops import kernels as K
 
+# Largest number of unrolled (tz, ty, tx) taps per pallas_call body.
+# 343 (hw=3, single call) is known-good on the Mosaic/axon stack; 1331
+# (hw=5) is known to blow the compiler stack. Chunking the z-offsets
+# keeps every call at or below the known-good size.
+_MAX_TAPS_PER_CALL = 512
+
+# Mosaic's stack allocator does not fully reuse slots across the
+# unrolled tap bodies: measured scoped-VMEM stack grows ~1.2x
+# (by * nxa * 4) bytes PER TAP (e.g. 343 taps, by=64, nxa=256 ->
+# 35.06 MB, over the default 16 MB scoped window).  We raise the
+# per-kernel window via vmem_limit_bytes and budget the taps per call
+# so stack + scratch stays inside it (v5e has 128 MiB of VMEM).
+_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+_STACK_BUDGET_BYTES = 60 * 1024 * 1024
+_STACK_BYTES_PER_TAP_FACTOR = 1.25
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
 
 def _tv_kernel(hw, exponent, detect_curves, ker, want_den,
-               by, nx, *refs):
+               by, nxa, tz_lo, tz_hi, *refs):
     n_fields = 5 if want_den else 4
     w_len = 2 * hw + 1
+    n_tz = tz_hi - tz_lo
     ins = refs[:n_fields]          # HBM-resident z/y-padded fields
-    out_ref = refs[n_fields]
+    out_ref = refs[n_fields]       # HBM-resident (n_acc, Z, Yp, nxa)
     slabs = refs[n_fields + 1:n_fields + 1 + n_fields]
-    sems = refs[n_fields + 1 + n_fields]
+    acc_ref = refs[n_fields + 1 + n_fields]
+    sems = refs[n_fields + 2 + n_fields]
+    out_sem = refs[n_fields + 3 + n_fields]
 
     i = pl.program_id(0)           # receiver z row
     j = pl.program_id(1)           # receiver y block
     slab_ny = slabs[0].shape[1]
+    # source padded z-index for tap tz is i + 2*hw - tz, so the chunk
+    # [tz_lo, tz_hi) occupies [i + w_len - tz_hi, i + w_len - tz_hi + n_tz)
+    z_start = i + (w_len - tz_hi)
     copies = [
         pltpu.make_async_copy(
-            ins[f].at[pl.ds(i, w_len), pl.ds(j * by, slab_ny)],
+            ins[f].at[pl.ds(z_start, n_tz), pl.ds(j * by, slab_ny)],
             slabs[f], sems.at[f])
         for f in range(n_fields)
     ]
@@ -60,12 +95,12 @@ def _tv_kernel(hw, exponent, detect_curves, ker, want_den,
         c.wait()
 
     n_acc = 7 if want_den else 6
-    acc = [jnp.zeros((by, nx), jnp.float32) for _ in range(n_acc)]
+    acc = [jnp.zeros((by, nxa), jnp.float32) for _ in range(n_acc)]
     ny = by  # receiver rows in this block
 
-    for tz in range(w_len):
+    for tz in range(tz_lo, tz_hi):
         jz = tz - hw
-        src_z = 2 * hw - tz
+        src_z = (2 * hw - tz) - (2 * hw - (tz_hi - 1))  # slab-local
         s2r = slabs[0][src_z]
         b0r = slabs[1][src_z]
         b1r = slabs[2][src_z]
@@ -88,7 +123,7 @@ def _tv_kernel(hw, exponent, detect_curves, ker, want_den,
                 rx, ry, rz = jx / ln, jy / ln, jz / ln
                 y0 = hw - jy
                 x0 = hw - jx
-                sl = (slice(y0, y0 + ny), slice(x0, x0 + nx))
+                sl = (slice(y0, y0 + ny), slice(x0, x0 + nxa))
                 s = s2r[sl]
                 a0 = b0r[sl]
                 a1 = b1r[sl]
@@ -126,7 +161,44 @@ def _tv_kernel(hw, exponent, detect_curves, ker, want_den,
                     acc[6] = acc[6] + jnp.where(s != 0.0, w * m, 0.0)
 
     for ch in range(n_acc):
-        out_ref[ch, 0] = acc[ch]
+        acc_ref[ch] = acc[ch]
+    out_dma = pltpu.make_async_copy(
+        acc_ref, out_ref.at[:, i, pl.ds(j * by, by)], out_sem)
+    out_dma.start()
+    out_dma.wait()
+
+
+def _tv_pallas_one_call(fields, ker, hw, exponent, detect_curves,
+                        want_den, by, n_yblk, slab_ny, nxa,
+                        nz, tz_lo, tz_hi, interpret):
+    n_fields = 5 if want_den else 4
+    n_acc = 7 if want_den else 6
+    n_tz = tz_hi - tz_lo
+    nxp = fields[0].shape[-1]
+    kern = functools.partial(
+        _tv_kernel, hw, exponent, detect_curves, ker,
+        want_den, by, nxa, tz_lo, tz_hi)
+    return pl.pallas_call(
+        kern,
+        grid=(nz, n_yblk),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_fields,
+        # the result MUST be pinned to HBM via the out_shape aval (only
+        # a MemoryRef aval sets the custom call's output memory color):
+        # with a plain ShapeDtypeStruct, XLA sometimes stack-allocates
+        # the whole custom-call result in scoped VMEM and fails
+        # compilation ("Ran out of memory in memory space vmem ...
+        # allocating on stack") for hw >= 3 volumes
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_shape=pltpu.HBM((n_acc, nz, n_yblk * by, nxa), jnp.float32),
+        scratch_shapes=(
+            [pltpu.VMEM((n_tz, slab_ny, nxp), jnp.float32)] * n_fields
+            + [pltpu.VMEM((n_acc, by, nxa), jnp.float32),
+               pltpu.SemaphoreType.DMA((n_fields,)),
+               pltpu.SemaphoreType.DMA]),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(*fields)
 
 
 def tv_dense_stick_pallas(
@@ -157,15 +229,20 @@ def tv_dense_stick_pallas(
         md = jnp.ones_like(sal)
 
     # y is blocked (grid dim 1) so the VMEM slab scratch stays
-    # O(w_len * by * X) no matter how large the volume is: 4 fields x
-    # w_len x (by + 2hw) x X_pad floats must fit the ~16 MB scoped
-    # VMEM budget (the unblocked kernel OOM'd at >= 384^3, hw >= 3)
-    n_ch = 7 if want_denominator else 6
+    # O(w_len * by * X) no matter how large the volume is; x is padded
+    # to a full lane multiple past the output width so both the
+    # accumulator and the output DMA are 128-aligned.
     n_fields = 5 if want_denominator else 4
-    nxp = -(-(nx + 2 * hw) // 128) * 128
-    by = min(64, -(-ny // 8) * 8)
+    nxa = _round_up(nx, 128)
+    nxp = _round_up(nxa + 2 * hw, 128)
+    by = min(64, _round_up(ny, 8))
+    # shrink the y block until one z-plane of taps fits the stack
+    # budget (wide volumes / large windows)
+    while (by > 8 and w_len * w_len * _STACK_BYTES_PER_TAP_FACTOR
+           * by * nxa * 4 > _STACK_BUDGET_BYTES):
+        by //= 2
     n_yblk = -(-ny // by)
-    slab_ny = -(-(by + 2 * hw) // 8) * 8
+    slab_ny = _round_up(by + 2 * hw, 8)
     # fields padded so every (j*by .. j*by+slab_ny) slab is in bounds
     ny_field = (n_yblk - 1) * by + slab_ny
     pad = [(hw, hw), (hw, ny_field - ny - hw), (hw, nxp - nx - hw)]
@@ -173,26 +250,25 @@ def tv_dense_stick_pallas(
               ([sal_eff, nvec[..., 0], nvec[..., 1], nvec[..., 2], md]
                [:n_fields])]
 
-    kern = functools.partial(
-        _tv_kernel, hw, exponent, detect_curves, ker,
-        want_denominator, by, nx)
+    # chunk the z-offsets so no single call unrolls more taps than the
+    # Mosaic compiler is known to handle, and so the per-call stack
+    # estimate stays inside the scoped-VMEM budget
+    budget_taps = int(_STACK_BUDGET_BYTES
+                      / (_STACK_BYTES_PER_TAP_FACTOR * by * nxa * 4))
+    taps_cap = max(w_len * w_len, min(_MAX_TAPS_PER_CALL, budget_taps))
+    tz_per_call = max(1, taps_cap // (w_len * w_len))
+    n_chunks = -(-w_len // tz_per_call)
+    out = None
+    for c in range(n_chunks):
+        tz_lo = c * tz_per_call
+        tz_hi = min(w_len, tz_lo + tz_per_call)
+        part = _tv_pallas_one_call(
+            fields, ker, hw, exponent, detect_curves,
+            want_denominator, by, n_yblk, slab_ny, nxa,
+            nz, tz_lo, tz_hi, interpret)
+        out = part if out is None else out + part
 
-    out = pl.pallas_call(
-        kern,
-        grid=(nz, n_yblk),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_fields,
-        out_specs=pl.BlockSpec((n_ch, 1, by, nx),
-                               lambda i, j: (0, i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_ch, nz, n_yblk * by, nx),
-                                       jnp.float32),
-        scratch_shapes=(
-            [pltpu.VMEM((w_len, slab_ny, nxp), jnp.float32)] * n_fields
-            + [pltpu.SemaphoreType.DMA((n_fields,))]),
-        interpret=interpret,
-    )(*fields)
-
-    out = out[:, :, :ny]
+    out = out[:, :, :ny, :nx]
     vote = jnp.moveaxis(out[:6], 0, -1)
     den = out[6] if want_denominator else None
     return vote, den
