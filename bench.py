@@ -29,26 +29,26 @@ import time
 import numpy as np
 
 
-def build_step(tv_mode: str):
+def build_step(tv_mode: str, tv_sigma: float = 2.0):
     import jax
     import jax.numpy as jnp
     from visfd_tpu.ops import kernels as K
-    from visfd_tpu.ops.conv import _conv1d_axis_impl
+    from visfd_tpu.ops.conv import _sep3, _use_pallas_blur
     from visfd_tpu.features import tv as TV
     from visfd_tpu.features import hessian as FH
     from visfd_tpu.linalg import sym3
 
-    sigma, tv_sigma = 2.0, 2.0
+    sigma = 2.0
     hw = max(1, int(np.floor(sigma * 2.5)))
     k1 = jnp.asarray(K.gauss_kernel_1d(sigma, hw))
     w_np, rh_np, off_np, tv_hw = TV.tv_tables(tv_sigma,
                                               float(np.sqrt(2.0)))
     tabs = (jnp.asarray(w_np), jnp.asarray(rh_np), jnp.asarray(off_np))
+    n = int(os.environ.get("BENCH_SIZE", "128"))
+    blur_pallas = _use_pallas_blur((n, n, n), (2 * hw + 1,) * 3)
 
     def step(x, k1, w_t, rh_t, off_t):
-        blur = _conv1d_axis_impl(x, k1, 0)
-        blur = _conv1d_axis_impl(blur, k1, 1)
-        blur = _conv1d_axis_impl(blur, k1, 2)
+        blur = _sep3(x, k1, k1, k1, use_pallas=blur_pallas)
         hess = FH.hessian_fd(blur) * (sigma * sigma)
         eivals, direction = sym3.principal_sym3(
             sym3.flat_to_full(hess), order=sym3.EigenOrder.DECREASING)
@@ -58,7 +58,7 @@ def build_step(tv_mode: str):
         if tv_mode == "pallas":
             from visfd_tpu.ops.tv_pallas import tv_dense_stick_pallas
             vote, _ = tv_dense_stick_pallas(
-                saliency, direction, tv_sigma, exponent=4,
+                saliency, direction, float(tv_sigma), exponent=4,
                 truncate_ratio=float(np.sqrt(2.0)))
         else:
             pad = [(tv_hw, tv_hw)] * 3
@@ -89,14 +89,15 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "100"))
     tv_mode = os.environ.get("BENCH_TV", "pallas")
 
-    def run_mode(mode):
-        step, tables = build_step(mode)
+    def run_mode(mode, tv_sigma=2.0, loop_iters=None):
+        step, tables = build_step(mode, tv_sigma=tv_sigma)
+        loop_iters = loop_iters or iters
 
         def looped(x0, *tables):
             def body(i, s):
                 out = step(s, *tables)
                 return out / (jnp.max(jnp.abs(out)) + 1e-30)
-            return jax.lax.fori_loop(0, iters, body, x0)
+            return jax.lax.fori_loop(0, loop_iters, body, x0)
 
         jl = jax.jit(looped)
         x = jnp.asarray(np.random.default_rng(0).normal(
@@ -106,7 +107,7 @@ def main():
         t0 = time.time()
         out = jl(x, *tables)
         float(out.ravel()[0])
-        return (time.time() - t0) / iters
+        return (time.time() - t0) / loop_iters
 
     try:
         dt = run_mode(tv_mode)
@@ -118,20 +119,39 @@ def main():
 
     voxels_per_s = (n ** 3) / dt
 
-    vs_baseline = 1.0
+    base = {}
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "baseline_cpp.json")
     if os.path.exists(base_path):
         with open(base_path) as f:
             base = json.load(f)
-        if base.get("voxels_per_s"):
-            vs_baseline = voxels_per_s / float(base["voxels_per_s"])
+
+    def vs(v):
+        b = float(base.get("voxels_per_s") or 0)
+        return round(v / b, 3) if b else 1.0
+
+    # second tracked config: the realistic production TV window
+    # (sigma_tv = 2.2 voxels => hw = 3 at the default truncate sqrt(2))
+    # -- the round-2 kernel fell off a 50x XLA-fallback cliff exactly
+    # here; keep it visible in every BENCH_r*.json (stderr JSON line;
+    # the final stdout line stays the driver's single tracked metric)
+    try:
+        dt3 = run_mode(tv_mode, tv_sigma=2.2,
+                       loop_iters=max(10, iters // 4))
+        print(json.dumps({
+            "metric": "membrane_tv_hw3_pipeline_voxels_per_s",
+            "value": round((n ** 3) / dt3, 1),
+            "unit": "voxels/s",
+            "vs_baseline": vs((n ** 3) / dt3),
+        }), file=sys.stderr)
+    except Exception as e:
+        print(f"bench: hw3 config failed ({e})", file=sys.stderr)
 
     print(json.dumps({
         "metric": "membrane_tv_pipeline_voxels_per_s",
         "value": round(voxels_per_s, 1),
         "unit": "voxels/s",
-        "vs_baseline": round(vs_baseline, 3),
+        "vs_baseline": vs(voxels_per_s),
     }))
 
 

@@ -142,7 +142,10 @@ def test_sharded_watershed_plateaus():
 
 def test_cli_watershed_device(tmp_path, img):
     """-watershed-device (extension): basin count equals the host
-    Meyer flood's; markers/boundaries combinations are rejected."""
+    Meyer flood's; boundaries and markers are supported (exact label
+    parity on distinct-valued volumes is asserted in
+    tests/test_propagate.py -- this byte-mode fixture is full of
+    plateaus, so only counts are compared here)."""
     import io
     import contextlib
     from visfd_tpu.cli import filter_mrc as FM
@@ -151,7 +154,9 @@ def test_cli_watershed_device(tmp_path, img):
     write_mrc(str(inp), img.astype(np.float32))
     outs = {}
     for name, extra in [("host", ["-watershed-hide-boundaries"]),
-                        ("dev", ["-watershed-device"])]:
+                        ("dev", ["-watershed-device",
+                                 "-watershed-hide-boundaries"]),
+                        ("devb", ["-watershed-device"])]:
         out = tmp_path / f"{name}.mrc"
         buf = io.StringIO()
         with contextlib.redirect_stderr(buf):
@@ -160,13 +165,24 @@ def test_cli_watershed_device(tmp_path, img):
         assert rc == 0, buf.getvalue()[-1500:]
         outs[name] = read_mrc(str(out)).data
     assert outs["host"].max() == outs["dev"].max()  # same basin count
+    # boundary run: same basin count, some boundary (0) voxels allowed
+    assert outs["devb"].max() == outs["dev"].max()
 
-    from visfd_tpu.cli.settings import InputError
-    with pytest.raises(InputError), \
-            contextlib.redirect_stderr(io.StringIO()):
-        FM.run(["-in", str(inp), "-out", str(tmp_path / "x.mrc"),
-                "-w", "1", "-watershed", "minima",
-                "-watershed-device", "-watershed-show-boundaries"])
+    # markers: two seed voxels -> exactly those labels + undefined max
+    markers = np.zeros(img.shape, np.float32)
+    markers[5, 10, 10] = 4
+    markers[15, 20, 15] = 9
+    mf = tmp_path / "markers.mrc"
+    write_mrc(str(mf), markers)
+    out = tmp_path / "marked.mrc"
+    with contextlib.redirect_stderr(io.StringIO()):
+        rc = FM.run(["-in", str(inp), "-out", str(out), "-w", "1",
+                     "-watershed", "minima", "-watershed-device",
+                     "-watershed-hide-boundaries",
+                     "-markers", str(mf)])
+    assert rc == 0
+    got = read_mrc(str(out)).data
+    assert set(np.unique(got)) <= {0.0, 4.0, 9.0, 10.0}
 
 
 def test_kth_largest_duplicates_and_mesh_sizes(rng):

@@ -54,3 +54,70 @@ def test_plateaus_and_halt():
     dev_h = propagate_watershed(x, halt_threshold=-0.5)
     assert (dev_h.labels[x > -0.5] == -1).all()
     assert (dev_h.labels[x <= -0.5] >= 1).all()
+
+
+def _distinct_random(shape=(10, 11, 12), seed=7):
+    """Smooth random field with globally distinct values (no plateaus,
+    no ties): the regime where the device watershed's reconstruction
+    of the Meyer flood is exact."""
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=shape).astype(np.float32)
+    for ax in range(3):
+        x = (x + np.roll(x, 1, ax) + np.roll(x, -1, ax)) / 3.0
+    x = x.astype(np.float64) + np.arange(x.size).reshape(shape) * 1e-9
+    x = x.astype(np.float32)
+    assert len(np.unique(x)) == x.size
+    return x
+
+
+@pytest.mark.parametrize("minima", [True, False])
+def test_label_map_matches_meyer(minima):
+    """Label-level (not just count) parity with the host Meyer flood
+    on a distinct-valued volume."""
+    x = _distinct_random()
+    host = watershed(x, start_from_minima=minima, show_boundaries=False)
+    dev = propagate_watershed(x, start_from_minima=minima)
+    np.testing.assert_array_equal(dev.labels, host.labels)
+
+
+def test_boundaries_match_meyer():
+    x = _distinct_random(seed=11)
+    host = watershed(x, show_boundaries=True)
+    dev = propagate_watershed(x, show_boundaries=True)
+    assert dev.num_basins == host.num_basins
+    np.testing.assert_array_equal(dev.labels, host.labels)
+
+
+def test_boundaries_match_meyer_with_mask_and_custom_label():
+    x = _distinct_random(seed=3)
+    rng = np.random.default_rng(1)
+    mask = rng.random(x.shape) > 0.15
+    host = watershed(x, mask=mask, show_boundaries=True,
+                     label_boundary=99)
+    dev = propagate_watershed(x, mask=mask, show_boundaries=True,
+                              label_boundary=99)
+    np.testing.assert_array_equal(dev.labels, host.labels)
+
+
+def test_markers_match_meyer():
+    x = _distinct_random(seed=21)
+    markers = np.zeros(x.shape, np.int64)
+    markers[2, 3, 4] = 7
+    markers[7, 8, 9] = 3
+    markers[5, 2, 10] = 12
+    host = watershed(x, markers=markers, show_boundaries=False)
+    dev = propagate_watershed(x, markers=markers)
+    assert dev.num_basins == host.num_basins == 3
+    np.testing.assert_array_equal(dev.basin_locations,
+                                  host.basin_locations)
+    np.testing.assert_array_equal(dev.labels, host.labels)
+
+
+def test_markers_with_boundaries_match_meyer():
+    x = _distinct_random(seed=22)
+    markers = np.zeros(x.shape, np.int64)
+    markers[1, 1, 1] = 2
+    markers[8, 9, 10] = 5
+    host = watershed(x, markers=markers, show_boundaries=True)
+    dev = propagate_watershed(x, markers=markers, show_boundaries=True)
+    np.testing.assert_array_equal(dev.labels, host.labels)

@@ -251,28 +251,25 @@ def handle_watershed(s, x_np, mask_np):
 
     With ``-watershed-device`` (extension) the volume stays in HBM and
     basins come from the sharded steepest-descent propagation
-    (``parallel.sharded_features.propagate_watershed_sharded``) --
-    same basin count/locations as the Meyer flood, no boundary labels,
-    no marker support."""
+    (``parallel.sharded_features.propagate_watershed_sharded``);
+    markers seed a device minimax flood and boundary labels come from
+    the Meyer-order contested-voxel cascade -- label-level parity with
+    the host flood wherever intensities are distinct."""
     markers = None
     if s.watershed_markers_filename:
         markers = np.round(
             mrc.read_mrc(s.watershed_markers_filename).data).astype(np.int64)
     if s.watershed_on_device:
-        if markers is not None or s.watershed_show_boundaries:
-            raise InputError(
-                "Error: -watershed-device does not support -markers or "
-                "-watershed-show-boundaries\n"
-                "       (boundary labels are flood-order artifacts; use "
-                "the host watershed).")
         from visfd_tpu.parallel.mesh import make_mesh
         from visfd_tpu.parallel.sharded_features import (
             propagate_watershed_sharded)
         res = propagate_watershed_sharded(
-            x_np, make_mesh(), mask=mask_np,
+            x_np, make_mesh(), mask=mask_np, markers=markers,
             start_from_minima=not s.clusters_begin_at_maxima,
             halt_threshold=s.watershed_threshold,
             connectivity=s.neighbor_connectivity,
+            show_boundaries=s.watershed_show_boundaries,
+            label_boundary=int(s.watershed_boundary_label),
             label_undefined=-1)
     else:
         res = watershed(

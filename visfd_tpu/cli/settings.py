@@ -525,9 +525,9 @@ def parse_args(argv: List[str]) -> Settings:
         elif a == "-watershed-device":
             # extension: device-resident steepest-descent watershed
             # (segment.propagate), mesh-sharded when several devices
-            # are visible; no Meyer boundary labels
-            s.watershed_on_device = True
-            s.watershed_show_boundaries = False; n = 0
+            # are visible; markers + Meyer boundary labels supported
+            # (exact label parity wherever intensities are distinct)
+            s.watershed_on_device = True; n = 0
         elif a == "-watershed":
             need(1, "must be followed by minima or maxima")
             s.filter_type = WATERSHED

@@ -20,15 +20,18 @@ normalization denominator as a 7th channel when requested.  Matches
 
 Two compile-size safeguards (round 3):
 
-* the kernel result lives in HBM (``pl.ANY``) and is written by an
-  explicit VMEM->HBM DMA from a scratch accumulator -- letting XLA
-  place the custom-call result itself used to pin the full (6, Z, Y, X)
-  array into scoped VMEM and fail compilation for hw >= 3 at volumes
-  >= ~192^3;
-* large windows are split over several ``pallas_call``s, each handling
-  a chunk of z-offsets (the per-call unrolled tap count stays below
-  ``_MAX_TAPS_PER_CALL``; hw=5's 1331-tap single-call body blew the
-  Mosaic compiler stack).  Partial vote tensors are summed in XLA.
+* the Mosaic stack allocator does not reuse slots across the unrolled
+  tap bodies, so the kernel's scoped-VMEM stack grows with the tap
+  count (~1.2x (by * nxa * 4) bytes per tap) and overflowed the
+  default 16 MB window at hw >= 3 ("Ran out of memory in memory space
+  vmem ... allocating on stack").  The per-kernel window is raised via
+  ``vmem_limit_bytes`` and the y-block shrinks for wide volumes so the
+  estimate stays inside a fixed budget;
+* large windows are additionally split over several ``pallas_call``s,
+  each handling a chunk of z-offsets (the per-call unrolled tap count
+  stays below ``_MAX_TAPS_PER_CALL``; hw=5's 1331-tap single-call body
+  blew the Mosaic compiler stack outright).  Partial vote tensors are
+  summed in XLA.
 """
 
 from __future__ import annotations
@@ -71,11 +74,9 @@ def _tv_kernel(hw, exponent, detect_curves, ker, want_den,
     w_len = 2 * hw + 1
     n_tz = tz_hi - tz_lo
     ins = refs[:n_fields]          # HBM-resident z/y-padded fields
-    out_ref = refs[n_fields]       # HBM-resident (n_acc, Z, Yp, nxa)
+    out_ref = refs[n_fields]       # blocked VMEM (n_acc, 1, by, nxa)
     slabs = refs[n_fields + 1:n_fields + 1 + n_fields]
-    acc_ref = refs[n_fields + 1 + n_fields]
-    sems = refs[n_fields + 2 + n_fields]
-    out_sem = refs[n_fields + 3 + n_fields]
+    sems = refs[n_fields + 1 + n_fields]
 
     i = pl.program_id(0)           # receiver z row
     j = pl.program_id(1)           # receiver y block
@@ -161,11 +162,7 @@ def _tv_kernel(hw, exponent, detect_curves, ker, want_den,
                     acc[6] = acc[6] + jnp.where(s != 0.0, w * m, 0.0)
 
     for ch in range(n_acc):
-        acc_ref[ch] = acc[ch]
-    out_dma = pltpu.make_async_copy(
-        acc_ref, out_ref.at[:, i, pl.ds(j * by, by)], out_sem)
-    out_dma.start()
-    out_dma.wait()
+        out_ref[ch, 0] = acc[ch]
 
 
 def _tv_pallas_one_call(fields, ker, hw, exponent, detect_curves,
@@ -175,6 +172,18 @@ def _tv_pallas_one_call(fields, ker, hw, exponent, detect_curves,
     n_acc = 7 if want_den else 6
     n_tz = tz_hi - tz_lo
     nxp = fields[0].shape[-1]
+    # request only the scoped VMEM this call actually needs (the
+    # Mosaic stack estimate + scratch + pipelined out blocks): a
+    # blanket 100 MB window measurably slows the kernel (~10% on the
+    # flagship bench), presumably by pessimizing XLA's scheduling
+    w_len = 2 * hw + 1
+    taps = n_tz * w_len * w_len
+    stack_est = int(taps * _STACK_BYTES_PER_TAP_FACTOR * by * nxa * 4)
+    scratch = n_fields * n_tz * slab_ny * nxp * 4
+    out_blk = 2 * n_acc * by * nxa * 4
+    vmem_limit = min(_VMEM_LIMIT_BYTES,
+                     max(16 * 1024 * 1024,
+                         stack_est + scratch + out_blk + 4 * 1024 * 1024))
     kern = functools.partial(
         _tv_kernel, hw, exponent, detect_curves, ker,
         want_den, by, nxa, tz_lo, tz_hi)
@@ -182,21 +191,20 @@ def _tv_pallas_one_call(fields, ker, hw, exponent, detect_curves,
         kern,
         grid=(nz, n_yblk),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_fields,
-        # the result MUST be pinned to HBM via the out_shape aval (only
-        # a MemoryRef aval sets the custom call's output memory color):
-        # with a plain ShapeDtypeStruct, XLA sometimes stack-allocates
-        # the whole custom-call result in scoped VMEM and fails
-        # compilation ("Ran out of memory in memory space vmem ...
-        # allocating on stack") for hw >= 3 volumes
-        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        out_shape=pltpu.HBM((n_acc, nz, n_yblk * by, nxa), jnp.float32),
+        out_specs=pl.BlockSpec((n_acc, 1, by, nxa),
+                               lambda i, j: (0, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_acc, nz, n_yblk * by, nxa),
+                                       jnp.float32),
         scratch_shapes=(
             [pltpu.VMEM((n_tz, slab_ny, nxp), jnp.float32)] * n_fields
-            + [pltpu.VMEM((n_acc, by, nxa), jnp.float32),
-               pltpu.SemaphoreType.DMA((n_fields,)),
-               pltpu.SemaphoreType.DMA]),
+            + [pltpu.SemaphoreType.DMA((n_fields,))]),
+        # the raised per-kernel scoped-VMEM window is what lets hw >= 3
+        # compile: Mosaic's stack allocator does not reuse slots across
+        # the unrolled taps (see _STACK_BUDGET_BYTES above), and the
+        # default 16 MB window overflowed at 343 taps
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
+            vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(*fields)
 

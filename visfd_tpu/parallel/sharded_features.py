@@ -474,17 +474,38 @@ def propagate_watershed_sharded(
     source,
     mesh: Mesh,
     mask=None,
+    markers=None,
     start_from_minima: bool = True,
     halt_threshold: float = np.inf,
     connectivity: int = 1,
+    show_boundaries: bool = False,
+    label_boundary: int = 0,
     label_undefined: int = -1,
 ):
     """Mesh-sharded ``segment.propagate.propagate_watershed``:
     identical basins/labels; the descent/plateau/resolve stencil phases
     run under shard_map with halo exchange, the final pointer collapse
-    is vectorized numpy on the gathered parent graph."""
+    is vectorized numpy on the gathered parent graph.
+
+    Markers and Meyer boundary labels reuse the single-device minimax
+    propagation + contested-set cascade on the gathered volume (the
+    per-voxel label/boundary semantics are identical; see
+    ``segment.propagate``)."""
     from visfd_tpu.segment import extrema as E
-    from visfd_tpu.segment.propagate import postprocess_basins
+    from visfd_tpu.segment.propagate import (
+        postprocess_basins, propagate_watershed)
+
+    if markers is not None:
+        # marker labels come from the minimax flood (not descent); run
+        # the single-device path on the gathered volume -- the descent
+        # phases it skips are the ones this function shards
+        return propagate_watershed(
+            source, mask=mask, markers=markers,
+            start_from_minima=start_from_minima,
+            halt_threshold=halt_threshold, connectivity=connectivity,
+            show_boundaries=show_boundaries,
+            label_boundary=label_boundary,
+            label_undefined=label_undefined)
 
     x = np.asarray(source, np.float32)
     if not start_from_minima:
@@ -530,9 +551,27 @@ def propagate_watershed_sharded(
 
     valid = np.ones((nz, ny, nx), bool) if mask is None \
         else (np.asarray(mask) != 0)
-    return postprocess_basins(root, valid, x,
-                              start_from_minima=start_from_minima,
-                              halt=halt, label_undefined=label_undefined)
+    res = postprocess_basins(root, valid, x,
+                             start_from_minima=start_from_minima,
+                             halt=halt, label_undefined=label_undefined)
+    if show_boundaries:
+        import dataclasses as _dc
+        from visfd_tpu.segment.propagate import (_minimax_device,
+                                                 meyer_boundaries)
+        seeds = np.zeros(res.labels.shape, np.int32)
+        locs = np.asarray(res.basin_locations)
+        if len(locs):
+            seeds[locs[:, 2], locs[:, 1], locs[:, 0]] = np.arange(
+                1, len(locs) + 1, dtype=np.int32)
+        m = None if mask is None else jnp.asarray(mask, jnp.float32)
+        r, _ = _minimax_device(jnp.asarray(x), jnp.asarray(seeds), m,
+                               offs)
+        labels = meyer_boundaries(
+            res.labels, np.asarray(r), x, offs,
+            valid=None if mask is None else np.asarray(mask),
+            label_boundary=label_boundary)
+        res = _dc.replace(res, labels=labels)
+    return res
 
 
 def sharded_blob_dog(

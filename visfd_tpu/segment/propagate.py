@@ -136,6 +136,126 @@ def _descend_device(x, mask, offsets):
     return jnp.where(valid, root, -1), valid
 
 
+@functools.partial(jax.jit, static_argnames=("offsets",))
+def _minimax_device(x, seed_lab, mask, offsets):
+    """Flooding level r(v) (the level at which the Meyer flood pops v)
+    and the flood label, by fixpoint propagation.
+
+    In the Meyer flood a voxel's basin is that of its FIRST-POPPED
+    neighbor (the one that queued it).  With pop order reconstructed
+    as lexicographic (r, x), the recursion is: donor(v) = the neighbor
+    u minimizing (r_u, x_u); label(v) = label(donor); r(v) =
+    max(r_donor, x_v).  Seeds are pinned (queued at init, nothing
+    overwrites them).  Exact Meyer parity wherever intensities are
+    distinct; deterministic everywhere."""
+    valid = jnp.ones(x.shape, bool) if mask is None else (mask != 0)
+    INF = jnp.float32(jnp.inf)
+    xv = jnp.where(valid, x, INF)
+    BIG = jnp.int32(np.iinfo(np.int32).max)
+    is_seed = (seed_lab > 0) & valid
+
+    r0 = jnp.where(is_seed, xv, INF)
+    l0 = jnp.where(is_seed, seed_lab, BIG)
+    dr0 = jnp.where(is_seed, -INF, INF)  # donor pop key (r_u, x_u)
+    dx0 = jnp.where(is_seed, -INF, INF)
+
+    def body(state):
+        r, lab, dr, dx, _, it = state
+        new_r, new_lab, new_dr, new_dx = r, lab, dr, dx
+        for off in offsets:
+            r_u = _shift_int(r, off, INF)
+            x_u = _shift_int(xv, off, INF)
+            lab_u = _shift_int(lab, off, BIG)
+            better = valid & ~is_seed & (lab_u != BIG) & (
+                (r_u < new_dr) | ((r_u == new_dr) & (x_u < new_dx)))
+            # a donor whose LABEL changed after we adopted it has the
+            # same key; propagate the relabel (keys are unique per
+            # donor since x values distinguish voxels)
+            relabel = valid & ~is_seed & (lab_u != BIG) & (
+                (r_u == new_dr) & (x_u == new_dx) & (lab_u != new_lab))
+            new_dr = jnp.where(better, r_u, new_dr)
+            new_dx = jnp.where(better, x_u, new_dx)
+            new_lab = jnp.where(better | relabel, lab_u, new_lab)
+            new_r = jnp.where(better, jnp.maximum(r_u, xv), new_r)
+        changed = jnp.any((new_dr != dr) | (new_dx != dx)
+                          | (new_lab != lab))
+        return new_r, new_lab, new_dr, new_dx, changed, it + 1
+
+    # iteration cap: relabel propagation along pathological equal-r
+    # donor cycles (only constructible with exact fp ties) must not
+    # livelock; 8 * (nz+ny+nx) far exceeds any real donor-chain depth
+    max_it = 8 * int(sum(x.shape))
+    r, lab, _, _, _, _ = jax.lax.while_loop(
+        lambda s: s[4] & (s[5] < max_it), body,
+        (r0, l0, dr0, dx0, jnp.asarray(True), jnp.int32(0)))
+    return r, jnp.where(lab == BIG, 0, lab)
+
+
+def meyer_boundaries(labels, r, x_signed, offs, valid=None,
+                     label_boundary: int = 0) -> np.ndarray:
+    """Post-pass reproducing the Meyer flood's boundary labeling
+    (``segmentation.hpp:449-465``): a popped voxel that touches an
+    already-assigned different basin becomes the boundary (the popped
+    voxel is the shallower one).
+
+    Pop order is reconstructed as lexicographic (flooding level r,
+    intensity, flat index) -- exact wherever intensities are distinct.
+    Only "contested" voxels (assigned, with a differently-labeled
+    assigned neighbor) need the sequential cascade; everything else is
+    vectorized numpy.
+    """
+    labels = np.asarray(labels)
+    nzny = labels.shape
+    nz, ny, nx = nzny
+    assigned = labels > 0
+    if valid is not None:
+        assigned &= np.asarray(valid) != 0
+
+    # neighbor flat-index table (host, vectorized)
+    flat_idx = np.arange(labels.size, dtype=np.int64).reshape(nzny)
+    contested = np.zeros(nzny, bool)
+    neigh_tables = []
+    for dz, dy, dx in offs:
+        sl_src = tuple(
+            slice(max(0, -d), min(s, s - d))
+            for d, s in zip((dz, dy, dx), nzny))
+        sl_dst = tuple(
+            slice(max(0, d), min(s, s + d))
+            for d, s in zip((dz, dy, dx), nzny))
+        nlab = np.full(nzny, -2, np.int64)
+        nidx = np.full(nzny, -1, np.int64)
+        nlab[sl_dst] = labels[sl_src]
+        nassigned = np.zeros(nzny, bool)
+        nassigned[sl_dst] = assigned[sl_src]
+        nidx[sl_dst] = flat_idx[sl_src]
+        contested |= assigned & nassigned & (nlab != labels)
+        neigh_tables.append(nidx.reshape(-1))
+
+    out = labels.copy()
+    if not contested.any():
+        return out
+
+    rf = np.asarray(r).reshape(-1)
+    xf = np.asarray(x_signed).reshape(-1)
+    lf = labels.reshape(-1)
+    af = assigned.reshape(-1)
+    cf = np.flatnonzero(contested.reshape(-1))
+    # pop order: (r, x, flat index)
+    order = cf[np.lexsort((cf, xf[cf], rf[cf]))]
+    boundary = np.zeros(labels.size, bool)
+    ntab = np.stack(neigh_tables, axis=0)  # (n_offs, n)
+    for v in order:
+        key_v = (rf[v], xf[v], v)
+        for u in ntab[:, v]:
+            if u < 0 or not af[u] or boundary[u] or lf[u] == lf[v]:
+                continue
+            if (rf[u], xf[u], u) < key_v:
+                boundary[v] = True
+                break
+    out.reshape(-1)[boundary] = label_boundary
+    return out
+
+
 @dataclasses.dataclass
 class PropagateResult:
     labels: np.ndarray           # (Z, Y, X) int64; basins 1..N; -1 undefined
@@ -147,16 +267,22 @@ class PropagateResult:
 def propagate_watershed(
     source,
     mask=None,
+    markers=None,
     start_from_minima: bool = True,
     halt_threshold: float = np.inf,
     connectivity: int = 1,
+    show_boundaries: bool = False,
+    label_boundary: int = 0,
     label_undefined: int = -1,
 ) -> PropagateResult:
-    """Steepest-descent watershed; see module docstring.
+    """Device watershed; see module docstring.
 
-    Unlike :func:`visfd_tpu.segment.watershed.watershed` there is no
-    boundary labeling (Meyer boundaries are flood-order artifacts);
-    every in-mask, below-halt voxel belongs to a basin.
+    ``markers``: like the host Meyer flood, a label image whose
+    first-seen (raster order) voxel per positive label seeds a basin;
+    labels come from a device minimax flooding-level propagation
+    (exact Meyer assignment wherever levels are distinct).
+    ``show_boundaries``: post-pass reproducing the Meyer flood's
+    basin-collision boundary labeling (``meyer_boundaries``).
     """
     x = jnp.asarray(source, jnp.float32)
     if not start_from_minima:
@@ -165,12 +291,76 @@ def propagate_watershed(
     else:
         halt = halt_threshold
     offs = neighbor_offsets(connectivity)
-    root, valid = _descend_device(
-        x, None if mask is None else jnp.asarray(mask, jnp.float32), offs)
-    return postprocess_basins(
-        np.asarray(root), np.asarray(valid), np.asarray(x),
-        start_from_minima=start_from_minima, halt=halt,
-        label_undefined=label_undefined)
+    m = None if mask is None else jnp.asarray(mask, jnp.float32)
+    if markers is not None:
+        res = _marker_watershed(x, m, np.asarray(markers), offs,
+                                start_from_minima, halt, label_undefined)
+    else:
+        root, valid = _descend_device(x, m, offs)
+        res = postprocess_basins(
+            np.asarray(root), np.asarray(valid), np.asarray(x),
+            start_from_minima=start_from_minima, halt=halt,
+            label_undefined=label_undefined)
+    if show_boundaries:
+        seeds = np.zeros(res.labels.shape, np.int32)
+        locs = np.asarray(res.basin_locations)
+        if len(locs):
+            seeds[locs[:, 2], locs[:, 1], locs[:, 0]] = np.arange(
+                1, len(locs) + 1, dtype=np.int32)
+        r, _ = _minimax_device(x, jnp.asarray(seeds), m, offs)
+        labels = meyer_boundaries(
+            res.labels, np.asarray(r), np.asarray(x), offs,
+            valid=None if mask is None else np.asarray(mask),
+            label_boundary=label_boundary)
+        res = dataclasses.replace(res, labels=labels)
+    return res
+
+
+def _marker_watershed(x_signed, mask, markers, offs, start_from_minima,
+                      halt, label_undefined) -> PropagateResult:
+    """Marker-seeded device watershed: one seed per positive marker
+    label (first raster voxel, matching ``segment.watershed``), labels
+    by minimax flooding-level propagation."""
+    valid_np = (np.ones(markers.shape, bool) if mask is None
+                else np.asarray(mask) != 0)
+    flat = markers.reshape(-1)
+    ok = (flat > 0) & valid_np.reshape(-1)
+    hit = np.flatnonzero(ok)
+    labs = flat[hit]
+    uniq, first = np.unique(labs, return_index=True)
+    disc = np.argsort(first, kind="stable")  # discovery (raster) order
+    seed_flat = hit[first[disc]]
+    marker_labels = uniq[disc].astype(np.int64)
+
+    seeds = np.zeros(markers.shape, np.int32)
+    nz, ny, nx = markers.shape
+    seeds.reshape(-1)[seed_flat] = np.arange(1, len(seed_flat) + 1,
+                                             dtype=np.int32)
+    _, lab = _minimax_device(x_signed, jnp.asarray(seeds), mask, offs)
+    lab = np.asarray(lab).astype(np.int64)
+    x_np = np.asarray(x_signed)
+    labels = np.where(valid_np & (lab > 0), lab, label_undefined)
+    if np.isfinite(halt):
+        labels = np.where(valid_np & (x_np > halt), label_undefined,
+                          labels)
+    # remap basin ids -> user marker labels (reference :519-549)
+    lut = np.zeros(len(seed_flat) + 1, np.int64)
+    lut[1:] = marker_labels
+    basin_sel = labels > 0
+    labels = labels.copy()
+    labels[basin_sel] = lut[labels[basin_sel]]
+
+    ixs = seed_flat % nx
+    iys = (seed_flat // nx) % ny
+    izs = seed_flat // (nx * ny)
+    sign = 1.0 if start_from_minima else -1.0
+    return PropagateResult(
+        labels=labels.astype(np.int64),
+        num_basins=len(seed_flat),
+        basin_locations=np.stack([ixs, iys, izs], -1).astype(np.int64),
+        basin_scores=(x_np.reshape(-1)[seed_flat] * sign).astype(
+            np.float32),
+    )
 
 
 def postprocess_basins(
