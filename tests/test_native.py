@@ -108,6 +108,49 @@ def test_connect_parity(with_tensor):
                                       r_py.vector_standardized)
 
 
+def _random_blobs(n, seed=0, extent=200.0):
+    from visfd_tpu.features.blob import BlobList
+    rng = np.random.default_rng(seed)
+    crds = rng.random((n, 3)) * extent
+    diam = rng.random(n) * 10.0 + 2.0
+    scores = rng.normal(size=n)
+    return BlobList(crds, diam, scores)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(min_radial_separation_ratio=1.0),
+    dict(min_radial_separation_ratio=0.5,
+         max_volume_overlap_small=0.3, max_volume_overlap_large=0.05),
+    dict(min_radial_separation_ratio=0.0,
+         max_volume_overlap_small=0.1),
+])
+def test_nms_parity(kw):
+    from visfd_tpu.features import blob as B
+    blobs = _random_blobs(600, seed=4)
+    with forced_native(True):
+        r_nat = B.discard_overlapping_blobs(blobs, **kw)
+    with forced_native(False):
+        r_py = B.discard_overlapping_blobs(blobs, **kw)
+    assert len(r_nat) == len(r_py)
+    np.testing.assert_array_equal(r_nat.crds, r_py.crds)
+    np.testing.assert_array_equal(r_nat.scores, r_py.scores)
+    np.testing.assert_array_equal(r_nat.diameters, r_py.diameters)
+
+
+def test_nms_native_100k_under_1s():
+    import time
+    from visfd_tpu.features import blob as B
+    blobs = _random_blobs(100_000, seed=9, extent=1000.0)
+    with forced_native(True):
+        assert native.load() is not None
+        t0 = time.perf_counter()
+        kept = B.discard_overlapping_blobs(
+            blobs, min_radial_separation_ratio=1.0)
+        dt = time.perf_counter() - t0
+    assert len(kept) > 0
+    assert dt < 1.0, f"native NMS took {dt:.2f}s for 1e5 blobs"
+
+
 def test_connect_parity_must_link():
     from visfd_tpu.segment import connect as C
     sal, vec, tens, mask = _connect_inputs(seed=23)

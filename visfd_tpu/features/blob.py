@@ -20,9 +20,12 @@ Parity targets in the reference:
   ``BlobDogNM``/``_BlobDogNM`` composition
   (``bin/filter_mrc/feature_variants.hpp:394-580``).
 
-TPU split: the per-scale LoG filtering and the 80-neighbor extremum
-test run on device (the hot part, one fused jit per scale); candidate
-lists and NMS are tiny and run on the host.
+TPU split: the per-scale LoG filtering, the 80-neighbor extremum
+test, and candidate compaction (count + fixed-capacity nonzero
+extraction) run on device; only per-candidate index/score lists cross
+PCIe (the reference's per-thread candidate lists,
+``feature.hpp:212-346``, never materialize full-volume masks either).
+NMS runs on the host (native C++ when available).
 """
 
 from __future__ import annotations
@@ -98,6 +101,59 @@ def log_filter_for_scale(x, sigma_xyz, delta, truncate_ratio, mask):
                        truncate_ratio=truncate_ratio)
 
 
+@jax.jit
+def _candidate_counts(is_min, is_max, mid):
+    """Candidate selection masks (extremum AND the sign test,
+    ``feature.hpp:318-341``) plus their counts -- one 8-byte scalar
+    sync per scale instead of three full-volume transfers."""
+    sel_min = is_min & (mid < 0)
+    sel_max = is_max & (mid > 0)
+    return (sel_min, sel_max,
+            jnp.stack([jnp.sum(sel_min, dtype=jnp.int32),
+                       jnp.sum(sel_max, dtype=jnp.int32)]))
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def _compact_candidates(sel_min, sel_max, mid, capacity):
+    """Fixed-capacity on-device candidate extraction: flat indices in
+    raster (z, y, x) order (identical to the host ``np.argwhere``
+    order the list-building used before) plus gathered scores.  Only
+    ``capacity`` indices+scores cross PCIe, never the volume."""
+    n = mid.size
+    midf = mid.reshape(-1)
+    out = []
+    for sel in (sel_min, sel_max):
+        idx = jnp.nonzero(sel.reshape(-1), size=capacity, fill_value=n)[0]
+        out.append(idx.astype(jnp.int32))
+        out.append(midf[jnp.clip(idx, 0, n - 1)])
+    return tuple(out)
+
+
+def _extract_scale_candidates(is_min, is_max, mid):
+    """Host wrapper: returns ((zyx_min, sc_min), (zyx_max, sc_max)) as
+    numpy, via device compaction.  Capacity is rounded up to a power
+    of two so recompiles stay O(log n) across the sigma ladder."""
+    sel_min, sel_max, counts = _candidate_counts(is_min, is_max, mid)
+    n_min, n_max = (int(c) for c in np.asarray(counts))
+    top = max(n_min, n_max)
+    if top == 0:
+        empty = (np.zeros((0, 3), np.int64), np.zeros(0, np.float32))
+        return empty, empty
+    cap = 1 << max(6, int(np.ceil(np.log2(top))))
+    cap = min(cap, mid.size)
+    im, sm, ix, sx = _compact_candidates(sel_min, sel_max, mid, cap)
+    shape = mid.shape
+    res = []
+    for k, (idx, sc) in ((n_min, (im, sm)), (n_max, (ix, sx))):
+        idx = np.asarray(idx)[:k].astype(np.int64)
+        z = idx // (shape[1] * shape[2])
+        rem = idx - z * (shape[1] * shape[2])
+        y = rem // shape[2]
+        x = rem - y * shape[2]
+        res.append((np.stack([z, y, x], -1), np.asarray(sc)[:k]))
+    return res[0], res[1]
+
+
 def blob_dog(
     x: jax.Array,
     sigmas: Sequence[float],
@@ -145,17 +201,15 @@ def blob_dog(
             continue
         prev, mid, next_ = ring[(ir - 2) % 3], ring[(ir - 1) % 3], ring[ir % 3]
         is_min, is_max = extremum_fn(prev, mid, next_, m)
-        is_min, is_max = np.asarray(is_min), np.asarray(is_max)
-        mid_np = np.asarray(mid)
-        for sel, crds, sigl, scl, want_neg in (
-            (is_min & (mid_np < 0), min_crds, min_sig, min_sc, True),
-            (is_max & (mid_np > 0), max_crds, max_sig, max_sc, False),
+        hit_min, hit_max = _extract_scale_candidates(is_min, is_max, mid)
+        for (zyx, scores), crds, sigl, scl in (
+            (hit_min, min_crds, min_sig, min_sc),
+            (hit_max, max_crds, max_sig, max_sc),
         ):
-            zyx = np.argwhere(sel)
             if len(zyx):
                 crds.append(zyx[:, ::-1].astype(np.float64))  # (x, y, z)
                 sigl.append(np.full(len(zyx), sigmas[ir - 1]))
-                scl.append(mid_np[sel])
+                scl.append(scores)
 
     def pack(crds, sigl, scl):
         if not crds:
@@ -274,10 +328,11 @@ def discard_overlapping_blobs(
 ) -> BlobList:
     """Greedy best-first NMS through a coarse occupancy grid,
     replicating ``DiscardOverlappingBlobs`` (``feature.hpp:720-913``)
-    including its grid-limited collision detection.  The per-blob
-    collision test is vectorized over all candidates in the covered
-    cells (discard is an OR over colliding survivors, so batching the
-    checks is exact)."""
+    including its grid-limited collision detection.  The sequential
+    scan runs in native C++ (``visfd_nms``) when available; the Python
+    fallback vectorizes the per-blob collision test over all
+    candidates in the covered cells (discard is an OR over colliding
+    survivors, so batching the checks is exact)."""
     blobs = sort_blobs(blobs, criteria, ascending_order=False)
     n = len(blobs)
     if n == 0:
@@ -296,6 +351,29 @@ def discard_overlapping_blobs(
     radii = blobs.diameters / 2
     vols = (4 * np.pi / 3) * radii ** 3
     grid = np.floor((blobs.crds - bounds_min) / scale).astype(np.int64)
+
+    from visfd_tpu import native
+    lib = native.load()
+    if lib is not None:
+        import ctypes
+        crds_c = np.ascontiguousarray(blobs.crds, np.float64)
+        radii_c = np.ascontiguousarray(radii, np.float64)
+        vols_c = np.ascontiguousarray(vols, np.float64)
+        grid_c = np.ascontiguousarray(grid, np.int64)
+        tsz_c = np.ascontiguousarray(table_size, np.int64)
+        keep_c = np.zeros(n, np.uint8)
+        lib.visfd_nms(
+            native.ptr(crds_c, ctypes.c_double),
+            native.ptr(radii_c, ctypes.c_double),
+            native.ptr(vols_c, ctypes.c_double),
+            native.ptr(grid_c, ctypes.c_int64),
+            native.ptr(tsz_c, ctypes.c_int64),
+            n, int(scale),
+            float(min_radial_separation_ratio),
+            float(max_volume_overlap_small),
+            float(max_volume_overlap_large),
+            native.ptr(keep_c, ctypes.c_uint8))
+        return blobs.take(np.flatnonzero(keep_c))
 
     occ = {}
     keep = []

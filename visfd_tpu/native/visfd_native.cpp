@@ -6,6 +6,7 @@
 // (same priority ordering, same tie-breaking, same label states):
 //   * visfd_watershed_flood  ~ Watershed        (segmentation.hpp:240-468)
 //   * visfd_connect_flood    ~ LabelConnected   (connect.hpp:431-809)
+//   * visfd_nms              ~ DiscardOverlappingBlobs (feature.hpp:720-913)
 //
 // The Python modules visfd_tpu.segment.{watershed,connect} hold the
 // authoritative (and bit-identical) pure-Python fallbacks; this
@@ -16,6 +17,7 @@
 #include <cstdint>
 #include <cmath>
 #include <queue>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -260,6 +262,111 @@ int64_t visfd_connect_flood(
     }
   }
   return cut_due_to_polarity ? 1 : 0;
+}
+
+// Greedy best-first blob NMS through a coarse occupancy grid
+// (DiscardOverlappingBlobs, feature.hpp:720-913), bit-identical to the
+// Python fallback in visfd_tpu.features.blob.discard_overlapping_blobs:
+// same double-precision expressions (cubes via pow() to match numpy's
+// `** 3`), same grid geometry, same conservative cell-limited
+// candidate sets.  Blobs arrive pre-sorted best-first.
+//
+// crds: (n,3) double (x,y,z); radii/vols: double[n]; grid: (n,3) int64
+// cell coords; table_size: int64[3]. keep_out: uint8[n].
+// Returns the number of kept blobs.
+int64_t visfd_nms(
+    const double *crds, const double *radii, const double *vols,
+    const int64_t *grid, const int64_t *table_size,
+    int64_t n, int64_t scale,
+    double sep_ratio, double max_ovl_small, double max_ovl_large,
+    uint8_t *keep_out) {
+  const int64_t tx = table_size[0], ty = table_size[1], tz = table_size[2];
+  // occupancy: hashed bucket table with per-entry exact cell keys and
+  // intrusive chaining (no per-cell heap allocations; candidate order
+  // within a cell does not affect the boolean discard decision)
+  int bucket_bits = 12;
+  while (bucket_bits < 24 && ((int64_t)1 << bucket_bits) < 16 * n)
+    ++bucket_bits;
+  const int64_t n_buckets = (int64_t)1 << bucket_bits;
+  std::vector<int32_t> bucket((size_t)n_buckets, -1);
+  std::vector<int64_t> entry_key;
+  std::vector<int32_t> entry_blob, entry_next;
+  auto bucket_of = [&](int64_t key) -> int64_t {
+    return (int64_t)(((uint64_t)key * 0x9E3779B97F4A7C15ull)
+                     >> (64 - bucket_bits));
+  };
+  std::vector<int32_t> last_seen((size_t)n, -1);
+  std::vector<int64_t> cells;  // flat cell keys covered by blob i
+  int64_t n_kept = 0;
+  const double third_pi = M_PI / 3.0;
+
+  for (int64_t i = 0; i < n; ++i) {
+    keep_out[i] = 0;
+    const double ri = radii[i];
+    const int64_t big_r = (int64_t)std::ceil(ri / (double)scale) + 1;
+    const int64_t gx = grid[3 * i], gy = grid[3 * i + 1],
+                  gz = grid[3 * i + 2];
+    cells.clear();
+    bool discard = false;
+    for (int64_t jz = -big_r; jz <= big_r && !discard; ++jz)
+      for (int64_t jy = -big_r; jy <= big_r && !discard; ++jy)
+        for (int64_t jx = -big_r; jx <= big_r && !discard; ++jx) {
+          if (jx * jx + jy * jy + jz * jz > big_r * big_r) continue;
+          const int64_t cx = gx + jx, cy = gy + jy, cz = gz + jz;
+          if (cx < 0 || cx >= tx || cy < 0 || cy >= ty
+              || cz < 0 || cz >= tz)
+            continue;
+          const int64_t key = cx + tx * (cy + ty * cz);
+          cells.push_back(key);
+          for (int32_t e = bucket[(size_t)bucket_of(key)]; e >= 0;
+               e = entry_next[(size_t)e]) {
+            if (entry_key[(size_t)e] != key) continue;
+            const int32_t k = entry_blob[(size_t)e];
+            if (last_seen[(size_t)k] == (int32_t)i) continue;
+            last_seen[(size_t)k] = (int32_t)i;
+            const double dx = crds[3 * i] - crds[3 * k];
+            const double dy = crds[3 * i + 1] - crds[3 * k + 1];
+            const double dz = crds[3 * i + 2] - crds[3 * k + 2];
+            const double rik = std::sqrt(dx * dx + dy * dy + dz * dz);
+            const double rk = radii[k];
+            if (rik < (ri + rk) * sep_ratio) { discard = true; break; }
+            // sphere lens overlap (visfd_utils.hpp:93-119); `pow(x, 3)`
+            // matches numpy's `x ** 3`
+            const double lo = ri < rk ? ri : rk;
+            const double hi = ri < rk ? rk : ri;
+            double vol;
+            if (rik <= lo) {
+              vol = (4.0 * M_PI / 3.0) * std::pow(lo, 3.0);
+            } else {
+              const double xi = 0.5 / rik * (rik * rik + lo * lo - hi * hi);
+              const double xj = 0.5 / rik * (rik * rik + hi * hi - lo * lo);
+              const double qi = xi / lo, qj = xj / hi;
+              vol = third_pi
+                  * (std::pow(lo, 3.0) * (2.0 - qi * (3.0 - qi * qi))
+                     + std::pow(hi, 3.0) * (2.0 - qj * (3.0 - qj * qj)));
+            }
+            const double v_small = vols[i] < vols[k] ? vols[i] : vols[k];
+            const double v_large = vols[i] < vols[k] ? vols[k] : vols[i];
+            if (vol / v_small > max_ovl_small
+                || vol / v_large > max_ovl_large) {
+              discard = true;
+              break;
+            }
+          }
+        }
+    if (!discard) {
+      keep_out[i] = 1;
+      ++n_kept;
+      for (int64_t key : cells) {
+        const int64_t b = bucket_of(key);
+        entry_key.push_back(key);
+        entry_blob.push_back((int32_t)i);
+        entry_next.push_back(bucket[(size_t)b]);
+        bucket[(size_t)b] = (int32_t)(entry_key.size() - 1);
+      }
+    }
+  }
+  return n_kept;
 }
 
 }  // extern "C"

@@ -583,8 +583,8 @@ def sharded_blob_dog(
 ):
     """Mesh-sharded ``features.blob.blob_dog``: same candidate lists,
     bit-identical scores/coordinates; per-scale LoG + extremum test run
-    under shard_map with halo exchange, candidate extraction gathers
-    the (tiny) boolean hit masks to host."""
+    under shard_map with halo exchange, and candidate compaction runs
+    on device (only index/score lists are gathered to host)."""
     from visfd_tpu.features import blob as B
 
     x = jnp.asarray(x, jnp.float32)
