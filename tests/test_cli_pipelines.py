@@ -205,3 +205,37 @@ def test_membrane_pipeline(workdir):
     n_voxels_largest = int(np.sum(np.abs(out.data - 1.0) < 0.01))
     assert n_voxels_largest > 50
     assert os.path.getsize("memb.ply") > 0
+
+
+def test_edge_cli_brute_oracle(tmp_path, monkeypatch):
+    """Brute-force oracle for the -edge (gradient magnitude) CLI path,
+    which the reference binary refuses to run (settings.cpp:2754-2770;
+    see README deviations): Gaussian blur (discrete Bessel kernel,
+    full-volume edge normalization) -> central-difference gradient with
+    nearest-interior face clamping -> * sigma -> Euclidean norm."""
+    from tests.test_filters import brute_sep3
+    from visfd_tpu.ops import kernels as K
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(9, 10, 11)).astype(np.float32)
+    mrc.write_mrc("edge_in.mrc", x)
+    run_fm("-w 1 -in edge_in.mrc -out edge_out.mrc "
+           "-edge minima 2.0 -tv-threshold -1")
+    got = mrc.read_mrc("edge_out.mrc").data
+
+    sigma, hw = 2.0, int(np.floor(2.0 * 2.5))
+    k = K.gauss_kernel_1d(sigma, hw).astype(np.float64)
+    blur = brute_sep3(x.astype(np.float64), k, k, k, normalize=True)
+
+    def sh(dz, dy, dx):
+        return np.roll(blur, shift=(-dz, -dy, -dx), axis=(0, 1, 2))
+
+    gx = 0.5 * (sh(0, 0, 1) - sh(0, 0, -1))
+    gy = 0.5 * (sh(0, 1, 0) - sh(0, -1, 0))
+    gz = 0.5 * (sh(1, 0, 0) - sh(-1, 0, 0))
+    g = np.stack([gx, gy, gz], -1)
+    g = np.pad(g[1:-1, 1:-1, 1:-1], ((1, 1), (1, 1), (1, 1), (0, 0)),
+               mode="edge") * sigma
+    expect = np.sqrt((g * g).sum(-1))
+    np.testing.assert_allclose(got, expect, atol=5e-6 * expect.max())

@@ -84,3 +84,46 @@ def test_sharded_membrane_step_matches_single(mesh8):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(stick_sh), stick,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_init_distributed_single_process_noop(monkeypatch):
+    """Without a coordinator/env, init_distributed must stay a
+    single-process no-op (not hang waiting for a cluster)."""
+    from visfd_tpu.parallel import distributed as D
+    for k in ("VISFD_COORDINATOR", "VISFD_NUM_PROCESSES",
+              "VISFD_PROCESS_ID", "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE",
+              "TPU_WORKER_HOSTNAMES", "TPU_SKIP_MDS_QUERY"):
+        monkeypatch.delenv(k, raising=False)
+    assert D.init_distributed() is False
+
+
+def test_init_distributed_one_process_cluster():
+    """A real (1-process) jax.distributed cluster comes up and serves a
+    global device list; run in a subprocess because initialize() must
+    precede any backend use."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "os.environ['VISFD_COORDINATOR'] = '127.0.0.1:18476'\n"
+        "os.environ['VISFD_NUM_PROCESSES'] = '1'\n"
+        "os.environ['VISFD_PROCESS_ID'] = '0'\n"
+        "from visfd_tpu.parallel.distributed import (init_distributed,"
+        " shutdown_distributed)\n"
+        "assert init_distributed() is True\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "assert jax.process_count() == 1\n"
+        "assert len(jax.devices()) >= 1\n"
+        "from visfd_tpu.parallel.mesh import make_mesh\n"
+        "m = make_mesh()\n"
+        "assert m.devices.size == len(jax.devices())\n"
+        "shutdown_distributed()\n"
+        "print('distributed-ok')\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=120,
+                       cwd="/root/repo")
+    assert "distributed-ok" in r.stdout, r.stderr[-2000:]

@@ -140,6 +140,46 @@ def test_sharded_watershed_plateaus():
     np.testing.assert_array_equal(got.labels, ref.labels)
 
 
+@pytest.mark.parametrize("n_devices", [1, 8])
+def test_sharded_connect_identical(n_devices):
+    """label_connected over a device mesh (sharded gates + seeds +
+    candidate compaction, compact host flood) vs the single-device
+    dense path: identical labels/clusters; standardized vectors
+    identical at every assigned voxel."""
+    from visfd_tpu.segment import connect as C
+    rng = np.random.default_rng(17)
+    shape = (16, 14, 15)
+    sal = rng.random(shape).astype(np.float32)
+    for ax in range(3):
+        sal = (sal + np.roll(sal, 1, ax) + np.roll(sal, -1, ax)) / 3.0
+    sal = sal.astype(np.float32)
+    vec = rng.normal(size=shape + (3,)).astype(np.float32)
+    tens = rng.normal(size=shape + (6,)).astype(np.float32)
+    mask = rng.random(shape) > 0.1
+    kw = dict(
+        mask=mask,
+        threshold_saliency=0.3,
+        vector=vec,
+        threshold_vector_saliency=-0.5,
+        threshold_vector_neighbor=0.2,
+        consider_dot_product_sign=False,
+        tensor=tens,
+        threshold_tensor_saliency=-0.5,
+        threshold_tensor_neighbor=-0.2,
+        connectivity=3,
+        standardize_vector_sign=True,
+    )
+    ref = C.label_connected(sal, compact=False, **kw)
+    got = C.label_connected(sal, mesh=make_mesh(n_devices), **kw)
+    assert got.num_clusters == ref.num_clusters
+    np.testing.assert_array_equal(got.labels, ref.labels)
+    np.testing.assert_array_equal(got.cluster_sizes, ref.cluster_sizes)
+    np.testing.assert_array_equal(got.cluster_maxima, ref.cluster_maxima)
+    sel = (ref.labels >= 1) & (ref.labels <= ref.num_clusters)
+    np.testing.assert_array_equal(got.vector_standardized[sel],
+                                  ref.vector_standardized[sel])
+
+
 def test_cli_watershed_device(tmp_path, img):
     """-watershed-device (extension): basin count equals the host
     Meyer flood's; boundaries and markers are supported (exact label

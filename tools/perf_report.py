@@ -80,7 +80,11 @@ def main():
                     help="TV stages use min(size, tv_size): larger "
                          "volumes exceed the axon tunnel request cap")
     ap.add_argument("--stages", default="all",
-                    help="comma list: gauss,hessian,eig,tv,pipeline")
+                    help="comma list: gauss,hessian,eig,tv,blob,pipeline")
+    ap.add_argument("--blob-size", type=int, default=384,
+                    help="blob-ladder volume edge; 384^3 is the largest "
+                         "single-channel volume under the axon tunnel's "
+                         "request cap (512^3 exceeds it)")
     cfg = ap.parse_args()
     stages = set(cfg.stages.split(","))
 
@@ -275,7 +279,29 @@ def main():
                                           if k.endswith(str(hw_))}),
               file=sys.stderr)
 
-    # ---- 5. full pipeline (the bench.py number), both TV paths ----
+    # ---- 5. blob scale-space ladder at large volume ----
+    # exercises the device-side candidate compaction: per sigma, only
+    # an 8-byte count + the candidate index/score lists cross PCIe
+    # (pre-r3 this moved ~6 bytes/voxel/sigma of boolean masks + the
+    # score volume to the host)
+    if want("blob"):
+        from visfd_tpu.features import blob as B
+        n_b = cfg.blob_size
+        xb = jnp.asarray(rng.normal(
+            size=(n_b, n_b, n_b)).astype(np.float32))
+        sigmas = [d / (2 * np.sqrt(3)) for d in (5.0, 6.0, 7.2, 8.6)]
+        kwb = dict(minima_threshold=0.7, maxima_threshold=0.7,
+                   use_threshold_ratios=True)
+        B.blob_dog(xb, sigmas, **kwb)  # warm / compile all scales
+        t0 = time.time()
+        mins, maxs = B.blob_dog(xb, sigmas, **kwb)
+        dt = time.time() - t0
+        record(f"blob_ladder_{n_b}", dt, vox=n_b ** 3 * len(sigmas),
+               note=f"{len(sigmas)}-sigma DoG ladder + 80-neighbor "
+                    f"extremum + device compaction, {n_b}^3, "
+                    f"{len(mins)}+{len(maxs)} blobs")
+
+    # ---- 6. full pipeline (the bench.py number), both TV paths ----
     import bench as BENCH
     x_pipe = x[:n_tv, :n_tv, :n_tv]
     for mode in (("pallas", "jnp") if want("pipeline") else ()):

@@ -304,6 +304,7 @@ def handle_label_connected(s, x_np, mask_np):
         must_link=s.must_link_constraints or None,
         must_link_directions=s.must_link_directions or None,
         start_from_saliency_maxima=s.clusters_begin_at_maxima,
+        mesh=_cli_mesh(s),
         report=sys.stderr)
     labels = np.where(res.labels > res.num_clusters, -1, res.labels)
     max_label = labels.max() if labels.size else 0
@@ -784,6 +785,7 @@ def handle_tv(s, img, x_np, mask_np, w):
             must_link=s.must_link_constraints or None,
             must_link_directions=s.must_link_directions or None,
             start_from_saliency_maxima=True,
+            mesh=_cli_mesh(s),
             report=sys.stderr)
         labels = np.where(res.labels > res.num_clusters, -1, res.labels)
         if res.vector_standardized is not None:
@@ -1017,6 +1019,13 @@ def handle_thresholds(s, x_in_np, out_np, mask_np):
 
 def run(argv) -> int:
     s = S.parse_args(list(argv))
+
+    if getattr(s, "mesh_devices", 0):
+        # multi-host runs: join the cluster before any backend use so
+        # jax.devices() (and thus -mesh) is global; single-process
+        # no-op unless VISFD_COORDINATOR/... or a pod env is present
+        from visfd_tpu.parallel.distributed import init_distributed
+        init_distributed()
 
     img = None
     if s.in_file_name:

@@ -72,6 +72,12 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         pi32, pf, i64, pi32, i64,
         f64, f64, pf, pf, f64, f64, i32,
         pf, pi64, pi64, pi8]
+    lib.visfd_connect_flood_compact.restype = i64
+    lib.visfd_connect_flood_compact.argtypes = [
+        pi32, pf, pu8, i64, i64, i64,
+        pi32, pf, i64, pi32, i64,
+        f64, f64, pf, pf, f64, f64, i32,
+        pf, pi64, pi64, pi8]
     pf64 = ctypes.POINTER(ctypes.c_double)
     lib.visfd_nms.restype = i64
     lib.visfd_nms.argtypes = [

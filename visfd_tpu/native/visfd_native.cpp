@@ -264,6 +264,147 @@ int64_t visfd_connect_flood(
   return cut_due_to_polarity ? 1 : 0;
 }
 
+// Compact-candidate variant of the LabelConnected flood: identical
+// semantics, but per-voxel attributes (saliency, discard gate, link
+// tensor/vector, standardized vectors) are stored only for CANDIDATE
+// voxels -- voxels inside the mask whose saliency passes the flood's
+// pop threshold.  Sub-threshold voxels can never spread (they pop
+// straight to UNDEF, connect.hpp:520-538), so excluding them up front
+// leaves labels/clusters/polarity bit-identical; only their (unused)
+// standardized-vector sign flips are skipped.  cand_id: dense int32
+// voxel -> candidate index (-1 elsewhere); *_c arrays are indexed by
+// candidate id.  labels is dense (int64) as before.
+int64_t visfd_connect_flood_compact(
+    const int32_t *cand_id,
+    const float *sal_c, const uint8_t *discard_c,
+    int64_t nz, int64_t ny, int64_t nx,
+    const int32_t *seeds_xyz, const float *seed_scores, int64_t n_seeds,
+    const int32_t *offs, int64_t n_offs,
+    double sign, double threshold_saliency,
+    const float *tensor_c, const float *vector_c,
+    double threshold_tensor_neighbor, double threshold_vector_neighbor,
+    int32_t consider_sign,
+    float *vec_std_c,
+    int64_t *labels, int64_t *basin2cluster, int8_t *basin2polarity) {
+  const int64_t UNDEF = n_seeds + 1;
+  const int64_t QUEUED = n_seeds + 2;
+  const int64_t n = nz * ny * nx;
+  for (int64_t i = 0; i < n; ++i) labels[i] = UNDEF;
+
+  std::vector<std::vector<int64_t>> cluster2basins((size_t)n_seeds);
+  for (int64_t i = 0; i < n_seeds; ++i) {
+    basin2cluster[i] = i;
+    basin2polarity[i] = 1;
+    cluster2basins[(size_t)i].push_back(i);
+  }
+
+  Heap q;
+  for (int64_t i = 0; i < n_seeds; ++i) {
+    int32_t ix = seeds_xyz[3 * i], iy = seeds_xyz[3 * i + 1],
+            iz = seeds_xyz[3 * i + 2];
+    q.push(QEnt{(double)seed_scores[i] * sign, i, ix, iy, iz});
+    labels[((int64_t)iz * ny + iy) * nx + ix] = QUEUED;
+  }
+
+  bool cut_due_to_polarity = false;
+
+  while (!q.empty()) {
+    QEnt e = q.top();
+    q.pop();
+    const int64_t at = ((int64_t)e.iz * ny + e.iy) * nx + e.ix;
+    const int32_t ci = cand_id[at];
+    if (e.score > threshold_saliency * sign || ci < 0) {
+      labels[at] = UNDEF;
+      continue;
+    }
+    if (discard_c[ci]) {
+      labels[at] = UNDEF;
+      if (seeds_xyz[3 * e.basin] == e.ix && seeds_xyz[3 * e.basin + 1] == e.iy
+          && seeds_xyz[3 * e.basin + 2] == e.iz)
+        basin2cluster[e.basin] = -1;
+      continue;
+    }
+    labels[at] = e.basin;
+
+    for (int64_t k = 0; k < n_offs; ++k) {
+      const int64_t z = e.iz + offs[3 * k], y = e.iy + offs[3 * k + 1],
+                    x = e.ix + offs[3 * k + 2];
+      if (!in_bounds(z, y, x, nz, ny, nx)) continue;
+      const int64_t ni = (z * ny + y) * nx + x;
+      const int32_t cj = cand_id[ni];
+      if (cj < 0) continue;
+
+      if (tensor_c) {
+        const float *ti = tensor_c + 6 * (int64_t)ci;
+        const float *tj = tensor_c + 6 * (int64_t)cj;
+        if (trace_product_quirk(ti, tj)
+            < threshold_tensor_neighbor * frobenius_quirk(ti)
+              * frobenius_quirk(tj))
+          continue;
+        const float *vi = vector_c + 3 * (int64_t)ci;
+        const float *vj = vector_c + 3 * (int64_t)cj;
+        const double dot = (double)vi[0] * vj[0] + (double)vi[1] * vj[1]
+                         + (double)vi[2] * vj[2];
+        const double li2 = (double)vi[0] * vi[0] + (double)vi[1] * vi[1]
+                         + (double)vi[2] * vi[2];
+        const double lj2 = (double)vj[0] * vj[0] + (double)vj[1] * vj[1]
+                         + (double)vj[2] * vj[2];
+        if (consider_sign) {
+          if (dot < threshold_tensor_neighbor * std::sqrt(li2)
+                    * std::sqrt(lj2))
+            continue;
+        } else {
+          if (dot * dot < threshold_vector_neighbor
+                          * threshold_vector_neighbor * li2 * lj2)
+            continue;
+        }
+      }
+
+      const int64_t nlab = labels[ni];
+      if (nlab == QUEUED) continue;
+      if (nlab == UNDEF) {
+        labels[ni] = QUEUED;
+        q.push(QEnt{(double)sal_c[cj] * sign, e.basin,
+                    (int32_t)x, (int32_t)y, (int32_t)z});
+        if (vec_std_c) {
+          float *a = vec_std_c + 3 * (int64_t)ci;
+          float *b = vec_std_c + 3 * (int64_t)cj;
+          const double d = (double)a[0] * b[0] + (double)a[1] * b[1]
+                         + (double)a[2] * b[2];
+          if (d < 0.0) { b[0] = -b[0]; b[1] = -b[1]; b[2] = -b[2]; }
+        }
+      } else {
+        const int64_t basin_j = nlab;
+        const int64_t cli = basin2cluster[e.basin];
+        const int64_t clj = basin2cluster[basin_j];
+        bool polarity_match = true;
+        if (vec_std_c) {
+          const float *a = vec_std_c + 3 * (int64_t)ci;
+          const float *b = vec_std_c + 3 * (int64_t)cj;
+          const double d = (double)a[0] * b[0] + (double)a[1] * b[1]
+                         + (double)a[2] * b[2];
+          if (d * basin2polarity[e.basin] * basin2polarity[basin_j] < 0.0)
+            polarity_match = false;
+        }
+        if (cli == clj) {
+          if (!polarity_match) cut_due_to_polarity = true;
+        } else {
+          const int64_t merged = cli < clj ? cli : clj;
+          const int64_t deleted = cli < clj ? clj : cli;
+          for (int64_t b : cluster2basins[(size_t)deleted]) {
+            cluster2basins[(size_t)merged].push_back(b);
+            basin2cluster[b] = merged;
+            if (vec_std_c && !polarity_match)
+              basin2polarity[b] = (int8_t)(-basin2polarity[b]);
+          }
+          cluster2basins[(size_t)deleted].clear();
+        }
+      }
+    }
+  }
+  return cut_due_to_polarity ? 1 : 0;
+}
+
 // Greedy best-first blob NMS through a coarse occupancy grid
 // (DiscardOverlappingBlobs, feature.hpp:720-913), bit-identical to the
 // Python fallback in visfd_tpu.features.blob.discard_overlapping_blobs:

@@ -28,17 +28,33 @@ use it too (``trace_product_sym3_quirk``); the mathematically correct
 version is available as ``trace_product_sym3``.
 
 The per-voxel gates are precomputed on device (vectorized Hessian +
-eigenvectors); the ordered flood itself runs on the host like
-``segment.watershed``.
+eigenvectors, optionally mesh-sharded: the Hessian stencil and the
+elementwise gate math are plain jnp ops, so GSPMD inserts the halo
+collectives automatically); the ordered flood itself runs on the host
+like ``segment.watershed``.
+
+Scale path (``compact=True``, default when a ``mesh`` is given): only
+voxels that can ever be assigned -- inside the mask and passing the
+flood's saliency pop threshold (``connect.hpp:520-538``) -- are
+compacted on device and transferred; the host flood runs on the
+compacted candidate set (dense traffic drops from ~47 B/voxel to
+~12 B/voxel + ~52 B/candidate).  Labels, clusters, polarity, and
+standardized vectors at every assigned voxel are bit-identical to the
+dense path; the only difference is that never-assigned voxels keep
+their input vector sign (the dense flood may flip signs there while
+queueing voxels that then fail the threshold -- values no consumer
+reads).
 """
 
 from __future__ import annotations
 
 import ctypes
 import dataclasses
+import functools
 import heapq
 from typing import List, Optional, Sequence, Tuple
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -76,6 +92,90 @@ def trace_product_sym3_quirk(a, b):
 
 def frobenius_norm_sym3_quirk(a):
     return np.sqrt(np.maximum(trace_product_sym3_quirk(a, a), 0.0))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "order", "consider_sign", "neg_hess", "has_tensor", "has_vector"))
+def _discard_gates_device(sal, tensor, vector, thr_t, thr_v, thr_v2,
+                          order, consider_sign, neg_hess,
+                          has_tensor, has_vector):
+    """Per-voxel discard gates (``connect.hpp:458-560``) as one jitted
+    device computation: saliency Hessian, trace-product tensor gate,
+    principal-eigenvector vector gate.  Works on mesh-sharded inputs
+    (GSPMD handles the stencil halos)."""
+    from visfd_tpu.features import hessian as H
+
+    hess = H.hessian_fd(sal)
+    if neg_hess:
+        hess = -hess
+    discard = jnp.zeros(sal.shape, bool)
+    if has_tensor:
+        tp = trace_product_sym3_quirk(hess, tensor)
+        fs = jnp.sqrt(jnp.maximum(
+            trace_product_sym3_quirk(hess, hess), 0.0))
+        ft = jnp.sqrt(jnp.maximum(
+            trace_product_sym3_quirk(tensor, tensor), 0.0))
+        # -inf * 0 -> nan compares False, same as the C++ compare
+        discard |= tp < thr_t * fs * ft
+    if has_vector:
+        diag = sym3.diagonalize_flat_sym3(hess, order=order)
+        evects = sym3.shoemake_to_matrix(diag[..., 3:6])
+        v1 = evects[..., 0, :]  # principal eigenvector (row 0)
+        dot = jnp.einsum("...d,...d->...", v1, vector)
+        lv1 = jnp.linalg.norm(v1, axis=-1)
+        lv = jnp.linalg.norm(vector, axis=-1)
+        if consider_sign:
+            discard |= dot < thr_v * lv1 * lv
+        else:
+            discard |= dot * dot < thr_v2 * lv1 * lv1 * lv * lv
+    return discard
+
+
+def _candidate_bound_f32(threshold: float, sign: float):
+    """The flood pops a voxel to UNDEF iff (in f64) ``sal * sign >
+    threshold * sign``.  Returns ``(t32, pred_gt)`` such that the
+    candidate predicate over float32 saliencies is exactly
+    ``~(sal > t32)`` (pred_gt) or ``~(sal < t32)``: f32->f64 promotion
+    is exact, so the f64 comparison reduces to an f32 one against the
+    correctly-rounded boundary.  NaN saliencies stay candidates, as in
+    the flood."""
+    t = np.float32(threshold)
+    if sign > 0:  # UNDEF iff sal > threshold
+        if np.float64(t) > threshold:
+            t = np.nextafter(t, np.float32(-np.inf))
+        return t, True
+    # sign < 0: UNDEF iff sal < threshold
+    if np.float64(t) < threshold:
+        t = np.nextafter(t, np.float32(np.inf))
+    return t, False
+
+
+@functools.partial(jax.jit, static_argnames=("pred_gt",))
+def _candidate_mask(sal, mvalid, t32, pred_gt):
+    undef = (sal > t32) if pred_gt else (sal < t32)
+    cand = ~undef & (mvalid != 0)
+    # int32 holds any addressable candidate count under jit (x64 off)
+    return cand, jnp.sum(cand, dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "capacity", "has_tensor", "has_vector"))
+def _compact_connect(cand, sal, discard, tensor, vector, capacity,
+                     has_tensor, has_vector):
+    """Fixed-capacity candidate extraction: flat indices in raster
+    order plus gathered per-candidate saliency/discard/tensor/vector.
+    Only these lists cross PCIe."""
+    n = sal.size
+    idx = jnp.nonzero(cand.reshape(-1), size=capacity, fill_value=n)[0]
+    safe = jnp.clip(idx, 0, n - 1)
+    out = [idx,
+           sal.reshape(-1)[safe],
+           discard.reshape(-1)[safe].astype(jnp.uint8)]
+    if has_tensor:
+        out.append(tensor.reshape(n, 6)[safe])
+    if has_vector:
+        out.append(vector.reshape(n, 3)[safe])
+    return tuple(out)
 
 
 def find_nearest_voxel(labels, target_xyz, mask=None,
@@ -128,10 +228,20 @@ def label_connected(
     must_link: Optional[Sequence[Sequence[Tuple[float, float, float]]]] = None,
     must_link_directions: Optional[Sequence[Sequence[str]]] = None,
     start_from_saliency_maxima: bool = True,
+    mesh=None,
+    compact: Optional[bool] = None,
     report=None,
 ) -> ConnectResult:
-    saliency = np.asarray(saliency, np.float32)
+    """``mesh``: an optional ``jax.sharding.Mesh``; the device
+    precompute (gates, seeds, candidate compaction) then runs
+    block-sharded over it.  ``compact``: run the scale path (see module
+    docstring); defaults to True when a mesh is given.  ``saliency``,
+    ``tensor``, and ``vector`` may be jax arrays (possibly already
+    device-resident/sharded) or numpy."""
+    if compact is None:
+        compact = mesh is not None
     nz, ny, nx = saliency.shape
+    shape = (nz, ny, nx)
     valid = None if mask is None else (np.asarray(mask) != 0)
     offs = neighbor_offsets(connectivity)
     sign = -1.0 if start_from_saliency_maxima else 1.0
@@ -145,57 +255,88 @@ def label_connected(
         if threshold_vector_neighbor < 0:
             threshold_vector_neighbor = 0.0
 
+    # ---- device arrays (optionally mesh-sharded) ----
+    sal_j = jnp.asarray(saliency, jnp.float32)
+    tensor_j = None if tensor is None else jnp.asarray(tensor, jnp.float32)
+    vector_j = None if vector is None else jnp.asarray(vector, jnp.float32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        zn, yn = mesh.axis_names
+        sal_j = jax.device_put(sal_j, NamedSharding(mesh, P(zn, yn)))
+        if tensor_j is not None:
+            tensor_j = jax.device_put(
+                tensor_j, NamedSharding(mesh, P(zn, yn, None, None)))
+        if vector_j is not None:
+            vector_j = jax.device_put(
+                vector_j, NamedSharding(mesh, P(zn, yn, None, None)))
+
     # ---- device precompute: saliency Hessian + per-voxel gates ----
-    hess = np.asarray(H.hessian_fd(jnp.asarray(saliency)))  # (Z,Y,X,6)
-    if tensor_is_positive_definite_near_target == start_from_saliency_maxima:
-        hess = -hess
-    discard = np.zeros(saliency.shape, bool)
-    if tensor is not None:
-        tensor = np.asarray(tensor, np.float32)
-        tp = trace_product_sym3_quirk(hess, tensor)
-        fs = frobenius_norm_sym3_quirk(hess)
-        ft = frobenius_norm_sym3_quirk(tensor)
-        with np.errstate(invalid="ignore"):
-            # -inf * 0 -> nan compares False, same as the C++ compare
-            discard |= tp < threshold_tensor_saliency * fs * ft
-    if vector is not None:
-        vector = np.asarray(vector, np.float32)
-        diag = np.asarray(sym3.diagonalize_flat_sym3(jnp.asarray(hess),
-                                                     order=order))
-        evects = np.asarray(sym3.shoemake_to_matrix(jnp.asarray(diag[..., 3:6])))
-        v1 = evects[..., 0, :]  # principal eigenvector (row 0)
-        dot = np.einsum("...d,...d->...", v1, vector)
-        lv1 = np.linalg.norm(v1, axis=-1)
-        lv = np.linalg.norm(vector, axis=-1)
-        if consider_dot_product_sign:
-            discard |= dot < threshold_vector_saliency * lv1 * lv
-        else:
-            discard |= dot * dot < (threshold_vector_saliency ** 2
-                                    * lv1 * lv1 * lv * lv)
+    dummy = jnp.zeros((1,), jnp.float32)
+    if tensor_j is not None or vector_j is not None:
+        discard_j = _discard_gates_device(
+            sal_j,
+            tensor_j if tensor_j is not None else dummy,
+            vector_j if vector_j is not None else dummy,
+            jnp.float32(threshold_tensor_saliency),
+            jnp.float32(threshold_vector_saliency),
+            jnp.float32(float(threshold_vector_saliency) ** 2),
+            order=order, consider_sign=consider_dot_product_sign,
+            neg_hess=(tensor_is_positive_definite_near_target
+                      == start_from_saliency_maxima),
+            has_tensor=tensor_j is not None,
+            has_vector=vector_j is not None)
+    else:
+        discard_j = jnp.zeros(shape, bool)
 
     # ---- seeds ----
-    res = find_extrema(
-        saliency, mask=mask,
+    seed_kw = dict(
         find_minima=not start_from_saliency_maxima,
         find_maxima=start_from_saliency_maxima,
         minima_threshold=(threshold_saliency
                           if not start_from_saliency_maxima else np.inf),
         maxima_threshold=(threshold_saliency
                           if start_from_saliency_maxima else -np.inf),
-        connectivity=connectivity, allow_borders=True,
-        want_label_image=False)
+        allow_borders=True, want_label_image=False)
+    if mesh is not None:
+        from visfd_tpu.parallel.sharded_features import find_extrema_sharded
+        res = find_extrema_sharded(sal_j, mesh, mask=mask,
+                                   connectivity=connectivity, **seed_kw)
+    else:
+        res = find_extrema(sal_j, mask=mask, connectivity=connectivity,
+                           **seed_kw)
     if start_from_saliency_maxima:
         seed_flat, seed_scores = res.maxima_indices, res.maxima_scores
     else:
         seed_flat, seed_scores = res.minima_indices, res.minima_scores
     n_basins = len(seed_flat)
-    seed_locs = [flat_to_xyz(int(i), saliency.shape) for i in seed_flat]
+    seed_locs = [flat_to_xyz(int(i), shape) for i in seed_flat]
 
     UNDEF = n_basins + 1
+    want_vec_std = (vector is not None and standardize_vector_sign
+                    and not consider_dot_product_sign)
+
+    if compact:
+        (labels, basin2cluster, cluster2basins, basin2polarity,
+         vec_std) = _flood_compact(
+            sal_j, discard_j, mask, offs, sign, threshold_saliency,
+            tensor_j, vector_j, threshold_tensor_neighbor,
+            threshold_vector_neighbor, consider_dot_product_sign,
+            want_vec_std, seed_locs, seed_scores, n_basins, shape)
+        return _finalize_connect(
+            seed_scores, valid, labels, n_basins, UNDEF, basin2cluster,
+            cluster2basins, basin2polarity, vec_std, seed_locs, mask,
+            must_link, must_link_directions, sort_criteria, voxel_weights,
+            label_undefined, report)
+
+    saliency = np.asarray(sal_j)
+    discard = np.asarray(discard_j)
+    if tensor_j is not None:
+        tensor = np.asarray(tensor_j)
+    if vector_j is not None:
+        vector = np.asarray(vector_j)
 
     vec_std = None
-    if vector is not None and standardize_vector_sign \
-       and not consider_dot_product_sign:
+    if want_vec_std:
         vec_std = np.ascontiguousarray(vector, np.float32).copy()
 
     lib = native.load()
@@ -252,10 +393,134 @@ def label_connected(
             consider_dot_product_sign, vec_std)
 
     return _finalize_connect(
-        saliency, valid, labels, n_basins, UNDEF, basin2cluster,
+        seed_scores, valid, labels, n_basins, UNDEF, basin2cluster,
         cluster2basins, basin2polarity, vec_std, seed_locs, mask,
         must_link, must_link_directions, sort_criteria, voxel_weights,
         label_undefined, report)
+
+
+def _flood_compact(sal_j, discard_j, mask, offs, sign, threshold_saliency,
+                   tensor_j, vector_j, threshold_tensor_neighbor,
+                   threshold_vector_neighbor, consider_sign,
+                   want_vec_std, seed_locs, seed_scores, n_basins, shape):
+    """Compact-candidate flood: device-side candidate extraction, host
+    flood over the compacted set (native ``visfd_connect_flood_compact``
+    or, without a compiler, scatter-to-dense + the Python flood)."""
+    nz, ny, nx = shape
+    n = nz * ny * nx
+    t32, pred_gt = _candidate_bound_f32(threshold_saliency, sign)
+    mvalid = (jnp.ones(shape, jnp.float32) if mask is None
+              else jnp.asarray(mask, jnp.float32))
+    if sal_j.sharding is not None and not sal_j.sharding.is_fully_replicated:
+        mvalid = jax.device_put(mvalid, sal_j.sharding)
+    cand_j, count = _candidate_mask(sal_j, mvalid, jnp.float32(t32),
+                                    pred_gt)
+    n_cand = int(count)
+
+    has_tensor = tensor_j is not None
+    has_vector = vector_j is not None
+    dummy = jnp.zeros((1,), jnp.float32)
+    if n_cand > 0:
+        cap = min(1 << max(6, int(np.ceil(np.log2(n_cand)))), n)
+        parts = _compact_connect(
+            cand_j, sal_j, discard_j,
+            tensor_j if has_tensor else dummy,
+            vector_j if has_vector else dummy,
+            cap, has_tensor, has_vector)
+        parts = iter(parts)
+        idx = np.asarray(next(parts))[:n_cand].astype(np.int64)
+        sal_c = np.ascontiguousarray(np.asarray(next(parts))[:n_cand])
+        disc_c = np.ascontiguousarray(np.asarray(next(parts))[:n_cand])
+        tens_c = (np.ascontiguousarray(np.asarray(next(parts))[:n_cand])
+                  if has_tensor else None)
+        vec_c = (np.ascontiguousarray(np.asarray(next(parts))[:n_cand])
+                 if has_vector else None)
+    else:
+        idx = np.zeros(0, np.int64)
+        sal_c = np.zeros(0, np.float32)
+        disc_c = np.zeros(0, np.uint8)
+        tens_c = np.zeros((0, 6), np.float32) if has_tensor else None
+        vec_c = np.zeros((0, 3), np.float32) if has_vector else None
+
+    cand_id = np.full(n, -1, np.int32)
+    cand_id[idx] = np.arange(n_cand, dtype=np.int32)
+
+    vec_std_c = None
+    if want_vec_std:
+        vec_std_c = vec_c.copy()
+
+    seeds_c = np.ascontiguousarray(
+        np.asarray(seed_locs, np.int32).reshape(-1, 3))
+    scores_c = np.ascontiguousarray(seed_scores, np.float32)
+    offs_c = np.ascontiguousarray(np.asarray(offs, np.int32))
+
+    lib = native.load()
+    if lib is not None:
+        labels = np.empty(shape, np.int64)
+        basin2cluster = np.empty(max(n_basins, 1), np.int64)
+        basin2polarity = np.empty(max(n_basins, 1), np.int8)
+        lib.visfd_connect_flood_compact(
+            native.ptr(cand_id, ctypes.c_int32),
+            native.ptr(sal_c, ctypes.c_float),
+            native.ptr(disc_c, ctypes.c_uint8),
+            nz, ny, nx,
+            native.ptr(seeds_c, ctypes.c_int32),
+            native.ptr(scores_c, ctypes.c_float), n_basins,
+            native.ptr(offs_c, ctypes.c_int32), len(offs),
+            float(sign), float(threshold_saliency),
+            native.ptr(tens_c, ctypes.c_float),
+            native.ptr(vec_c if tens_c is not None else None,
+                       ctypes.c_float),
+            float(threshold_tensor_neighbor),
+            float(threshold_vector_neighbor),
+            int(consider_sign),
+            native.ptr(vec_std_c, ctypes.c_float),
+            native.ptr(labels, ctypes.c_int64),
+            native.ptr(basin2cluster, ctypes.c_int64),
+            native.ptr(basin2polarity, ctypes.c_int8))
+        basin2cluster = basin2cluster[:n_basins]
+        basin2polarity = basin2polarity[:n_basins]
+        cluster2basins = [set() for _ in range(n_basins)]
+        for b in range(n_basins):
+            c = int(basin2cluster[b])
+            if c >= 0:
+                cluster2basins[c].add(b)
+    else:
+        # no compiler: scatter the compacted candidates back to dense
+        # and reuse the bit-identical Python flood (correctness path;
+        # the memory win needs the native core)
+        sal_d = np.zeros(shape, np.float32)
+        sal_d.reshape(-1)[idx] = sal_c
+        valid_d = (cand_id >= 0).reshape(shape)
+        disc_d = np.zeros(shape, bool)
+        disc_d.reshape(-1)[idx] = disc_c != 0
+        tens_d = None
+        vecl_d = None
+        if has_tensor:
+            tens_d = np.zeros(shape + (6,), np.float32)
+            tens_d.reshape(-1, 6)[idx] = tens_c
+            vecl_d = np.zeros(shape + (3,), np.float32)
+            vecl_d.reshape(-1, 3)[idx] = vec_c
+        vs_d = None
+        if want_vec_std:
+            vs_d = np.zeros(shape + (3,), np.float32)
+            vs_d.reshape(-1, 3)[idx] = vec_std_c
+        (labels, basin2cluster, cluster2basins, basin2polarity, vs_d,
+         _) = _flood_python(
+            sal_d, valid_d, disc_d, seed_locs, seed_scores, n_basins,
+            offs, sign, threshold_saliency, tens_d, vecl_d,
+            threshold_tensor_neighbor, threshold_vector_neighbor,
+            consider_sign, vs_d)
+        if want_vec_std:
+            vec_std_c = vs_d.reshape(-1, 3)[idx]
+
+    vec_std = None
+    if want_vec_std:
+        # dense standardized vectors: input signs everywhere, flood-
+        # standardized signs at candidates (assigned voxels included)
+        vec_std = np.array(vector_j, np.float32, copy=True, order="C")
+        vec_std.reshape(-1, 3)[idx] = vec_std_c
+    return labels, basin2cluster, cluster2basins, basin2polarity, vec_std
 
 
 def _flood_python(saliency, valid, discard, seed_locs, seed_scores,
@@ -372,14 +637,15 @@ def _flood_python(saliency, valid, discard, seed_locs, seed_scores,
             vec_std, voxels_cut_due_to_polarity)
 
 
-def _finalize_connect(saliency, valid, labels, n_basins, UNDEF,
+def _finalize_connect(seed_values, valid, labels, n_basins, UNDEF,
                       basin2cluster, cluster2basins, basin2polarity,
                       vec_std, seed_locs, mask, must_link,
                       must_link_directions, sort_criteria, voxel_weights,
                       label_undefined, report):
     """Post-flood host stages: must-link merging, cluster renumbering,
     polarity application, outward flip, sorting
-    (connect.hpp:829-1426)."""
+    (connect.hpp:829-1426).  ``seed_values`` are the saliency values at
+    the seed voxels (basin order)."""
     # ---- must-link constraints (connect.hpp:829-1045) ----
     if must_link:
         for gi, group in enumerate(must_link):
@@ -456,8 +722,10 @@ def _finalize_connect(saliency, valid, labels, n_basins, UNDEF,
                            vec_std)
 
     # voxel label -> cluster id
-    cl = np.where(in_basin, b2c[np.clip(labels, 0, max(n_basins - 1, 0))],
-                  -1)
+    if n_basins > 0:
+        cl = np.where(in_basin, b2c[np.clip(labels, 0, n_basins - 1)], -1)
+    else:
+        cl = np.full(labels.shape, -1, np.int64)
 
     # cluster sizes (optionally weighted)
     sizes = np.zeros(max(n_clusters, 1), np.float64)
@@ -487,9 +755,8 @@ def _finalize_connect(saliency, valid, labels, n_basins, UNDEF,
 
     maxima = np.array([seed_locs[b] for b in cluster2deepest],
                       np.int64).reshape(-1, 3)
-    saliencies = np.array(
-        [saliency[seed_locs[b][2], seed_locs[b][1], seed_locs[b][0]]
-         for b in cluster2deepest], np.float32)
+    saliencies = np.array([seed_values[b] for b in cluster2deepest],
+                          np.float32)
 
     # ---- sort clusters ----
     if sort_criteria == SORT_BY_SIZE and n_clusters > 0:
