@@ -81,6 +81,11 @@ def main():
                          "volumes exceed the axon tunnel request cap")
     ap.add_argument("--stages", default="all",
                     help="comma list: gauss,hessian,eig,tv,blob,pipeline")
+    ap.add_argument("--dense-size", type=int, default=384,
+                    help="volume edge for the bandwidth-bound dense "
+                         "stages (gauss/hessian); 128^3 is dispatch-"
+                         "bound through the remote tunnel and "
+                         "undersells them")
     ap.add_argument("--blob-size", type=int, default=384,
                     help="blob-ladder volume edge; 384^3 is the largest "
                          "single-channel volume under the axon tunnel's "
@@ -149,21 +154,43 @@ def main():
         v = _conv1d_axis_impl(v, k1, 1)
         return _conv1d_axis_impl(v, k1, 2)
 
+    nd = cfg.dense_size
+    xd = (x if nd == n
+          else jnp.asarray(rng.normal(size=(nd, nd, nd)).astype(np.float32)))
+
     if want("gauss"):
-        dt = _bench(gauss, (x, k1), cfg.iters, scalar_perturb)
+        dt = _bench(gauss, (xd, k1), cfg.iters, scalar_perturb)
         # 3 fused passes: each reads + writes the volume once
         record("separable_gauss_s2", dt, bytes_per_vox=6 * 4,
-               flops_per_vox=3 * (2 * hw + 1) * 2,
-               note=f"3x {2*hw+1}-tap shift-sum passes")
+               flops_per_vox=3 * (2 * hw + 1) * 2, vox=nd ** 3,
+               note=f"3x {2*hw+1}-tap shift-sum passes, {nd}^3")
+
+        # the production TPU path: fused Pallas separable blur (one HBM
+        # read + one write total; ops.conv._sep3 gates on _use_pallas_blur)
+        from visfd_tpu.ops.conv import _sep3
+
+        def gauss_pal(v, k1):
+            return _sep3(v, k1, k1, k1, use_pallas=True)
+
+        try:
+            dt = _bench(gauss_pal, (xd, k1), cfg.iters, scalar_perturb)
+            record("separable_gauss_s2_pallas", dt, bytes_per_vox=2 * 4,
+                   flops_per_vox=3 * (2 * hw + 1) * 2, vox=nd ** 3,
+                   note=f"fused z-stream Pallas blur, 1 read + 1 write,"
+                        f" {nd}^3")
+        except Exception as e:
+            print(f"separable_gauss_s2_pallas: FAILED ({e})",
+                  file=sys.stderr)
+            results["separable_gauss_s2_pallas"] = {"error": str(e)}
 
     # ---- 2. FD gradient+Hessian ----
     def hess(v):
         return FH.hessian_fd(v)
 
     if want("hessian"):
-        dt = _bench(hess, (x,), cfg.iters, scalar_perturb)
-        record("hessian_fd", dt, bytes_per_vox=(1 + 6) * 4,
-               note="read 1ch, write 6ch flat Hessian")
+        dt = _bench(hess, (xd,), cfg.iters, scalar_perturb)
+        record("hessian_fd", dt, bytes_per_vox=(1 + 6) * 4, vox=nd ** 3,
+               note=f"read 1ch, write 6ch flat Hessian, {nd}^3")
 
     # ---- 3. closed-form sym3 eigensolvers ----
     # multi-channel fields at full 384^3 overflow 16 GB HBM with the
@@ -332,7 +359,9 @@ def main():
         "# Per-kernel TPU performance report",
         "",
         f"Chip: **{kind}** (HBM speed-of-light {hbm/1e9:.0f} GB/s, "
-        f"VPU f32 ~{vpu/1e12:.1f} TFLOP/s).  Volume {n}^3 f32.",
+        f"VPU f32 ~{vpu/1e12:.1f} TFLOP/s).  Per-stage volumes in the "
+        f"notes (dense {cfg.dense_size}^3, multi-channel/TV "
+        f"{min(n, cfg.tv_size)}^3).",
         "Timings: chains of async dispatches synchronized by one value",
         "fetch (block_until_ready is a no-op on the axon backend).",
         "GB/s and %SoL assume MINIMUM possible traffic (perfect tap",
@@ -368,10 +397,12 @@ def main():
         "## Formulation bake-off decisions",
         "",
         "- **Pallas row-streaming is the default TV path on TPU for",
-        "  hw <= 4** (features/tv.py): measured ~8-10x over the XLA",
-        "  shift-sum at hw 2-3, parity < 1e-6 after the r2 tap-table",
-        "  fix.  hw >= 5 windows exceed the kernel's VMEM scratch plan",
-        "  and route to XLA.",
+        "  hw <= 8** (features/tv.py): measured ~8-15x over the XLA",
+        "  shift-sum at hw 2-5, parity < 1e-6.  Round 3 removed the",
+        "  hw >= 3 compile cliff (scoped-VMEM stack estimated from the",
+        "  padded slab width with a window-dependent per-tap factor,",
+        "  and z-offset chunking keeps each pallas_call body inside",
+        "  the Mosaic unroll budget -- see ops/tv_pallas.py).",
         "- **The MXU moment-expansion formulation (tv_moments) was",
         "  deleted** after losing the round-2 bake-off on real v5e:",
         "  7.1 Mvox/s (hw2) / 2.7 Mvox/s (hw3) vs 485 / ~340 Mvox/s",

@@ -632,12 +632,16 @@ def handle_tv(s, img, x_np, mask_np, w):
     x = _maybe_shard(s, jnp.asarray(x_np))
     mask = _maybe_shard(s, _mask_or_none(mask_np))
 
+    # the whole dense pipeline below stays device-resident (sharded
+    # when -mesh is given): score/direction/vote are jnp arrays, and
+    # numpy copies are materialized only at terminal consumers (file
+    # writes, the host floods, the PLY walker)
     background = None
     if s.width_b[0] > 0:
         hw = max(1, int(np.floor(s.width_b[0] * tr)))
-        background = np.asarray(F.apply_gauss(
+        background = F.apply_gauss(
             x, s.width_b[0], mask=mask, truncate_halfwidth=(hw,) * 3,
-            normalize=s.normalize_near_boundaries))
+            normalize=s.normalize_near_boundaries)
 
     with stage("gaussian blur + hessian + eigendecomposition", rep):
         grad, hess = FH.calc_hessian(x, sigma, mask=mask, truncate_ratio=tr)
@@ -645,23 +649,22 @@ def handle_tv(s, img, x_np, mask_np, w):
         # only (handlers.cpp:1645-1746) -> fast single-vector solver
         eivals, ev1 = sym3.principal_sym3(sym3.flat_to_full(hess),
                                           order=order)
-        grad_np = np.asarray(grad)
     if s.filter_type == S.CURVE:
-        score = np.asarray(FH.score_hessian_linear(eivals))
+        score = FH.score_hessian_linear(eivals)
     elif s.filter_type == S.SURFACE_EDGE:
-        score = np.linalg.norm(grad_np, axis=-1)
+        score = jnp.linalg.norm(grad, axis=-1)
     else:
-        score = np.asarray(FH.score_hessian_planar(eivals))
+        score = FH.score_hessian_planar(eivals)
     if background is not None:
-        score = score * (x_np - background)
-    if mask_np is not None:
-        score = np.where(mask_np != 0, score, 0.0)
+        score = score * (x - background)
+    if mask is not None:
+        score = jnp.where(mask != 0, score, 0.0)
 
-    direction = grad_np
+    direction = grad
     if s.filter_type != S.SURFACE_EDGE:
-        direction = np.asarray(ev1)
-        if mask_np is not None:
-            direction = direction * (mask_np != 0)[..., None]
+        direction = ev1
+        if mask is not None:
+            direction = direction * (mask[..., None] != 0)
 
     # saliency thresholding (top fraction) -- handlers.cpp:1751-1797.
     # The reference sorts every voxel on the host; we compute the same
@@ -673,12 +676,9 @@ def handle_tv(s, img, x_np, mask_np, w):
         print(" -- sorting all voxels by ridge saliency --\n",
               file=sys.stderr)
         thr = fraction_threshold(
-            _maybe_shard(s, jnp.asarray(score.astype(np.float32))), thr,
-            mesh=_cli_mesh(s),
-            mask=None if mask_np is None
-            else _maybe_shard(s, jnp.asarray(
-                (mask_np != 0).astype(np.float32))))
-    score = np.where(score < thr, 0.0, score)
+            score, thr, mesh=_cli_mesh(s),
+            mask=None if mask is None else (mask != 0).astype(jnp.float32))
+    score = jnp.where(score < thr, 0.0, score)
 
     vote = None
     if s.tv_sigma > 0:
@@ -689,49 +689,45 @@ def handle_tv(s, img, x_np, mask_np, w):
             print(f'loading sharded checkpoint '
                   f'"{s.load_progress_sharded}"', file=sys.stderr)
             state = load_sharded(s.load_progress_sharded)
-            vote = np.asarray(state["vote"])
-            if mask_np is not None:
-                vote = vote * (mask_np != 0)[..., None]
+            vote = jnp.asarray(np.asarray(state["vote"]))
+            if mask is not None:
+                vote = vote * (mask[..., None] != 0)
         elif not s.load_intermediate_fname_base:
             with stage("dense stick tensor voting", rep):
-                vote = np.asarray(TV.tv_dense_stick(
-                    _maybe_shard(s, jnp.asarray(score.astype(np.float32))),
-                    _maybe_shard(s, jnp.asarray(
-                        direction.astype(np.float32))),
+                vote = TV.tv_dense_stick(
+                    score, direction,
                     s.tv_sigma, exponent=s.tv_exponent,
                     mask_src=mask, mask_dest=mask,
                     detect_curves=(s.filter_type == S.CURVE),
                     truncate_ratio=s.tv_truncate_ratio,
-                    normalize=False))
+                    normalize=False)
         else:
             chans = []
             for d in range(6):
                 fname = (f"{s.load_intermediate_fname_base}_tensor_{d}.rec")
                 print(f'loading "{fname}"', file=sys.stderr)
                 chans.append(mrc.read_mrc(fname).data)
-            vote = np.stack(chans, axis=-1)
-            if mask_np is not None:
-                vote = vote * (mask_np != 0)[..., None]
-        diag = np.asarray(sym3.diagonalize_flat_sym3(
-            _maybe_shard(s, jnp.asarray(vote.astype(np.float32))),
-            order=order))
+            vote = _maybe_shard(s, jnp.asarray(
+                np.stack(chans, axis=-1).astype(np.float32)))
+            if mask is not None:
+                vote = vote * (mask[..., None] != 0)
+        diag = sym3.diagonalize_flat_sym3(vote, order=order)
         if s.filter_type == S.CURVE:
-            new_score = np.asarray(FH.score_tensor_linear(
-                jnp.asarray(diag[..., :3])))
+            new_score = FH.score_tensor_linear(diag[..., :3])
         else:
-            new_score = np.asarray(FH.score_tensor_planar(
-                jnp.asarray(diag[..., :3])))
+            new_score = FH.score_tensor_planar(diag[..., :3])
         if background is not None:
-            new_score = new_score * (x_np - background)
-        if mask_np is not None:
-            new_score = np.where(mask_np != 0, new_score, score)
-        score = new_score.astype(np.float32)
+            new_score = new_score * (x - background)
+        if mask is not None:
+            new_score = jnp.where(mask != 0, new_score, score)
+        score = new_score
 
     if s.save_intermediate_fname_base and vote is not None:
+        vote_np = np.asarray(vote)
         for d in range(6):
             fname = f"{s.save_intermediate_fname_base}_tensor_{d}.rec"
             print(f'writing "{fname}"', file=sys.stderr)
-            mrc.write_mrc(fname, vote[..., d].astype(np.float32),
+            mrc.write_mrc(fname, vote_np[..., d].astype(np.float32),
                           header=img.header)
 
     if s.save_progress_sharded and vote is not None:
@@ -742,9 +738,9 @@ def handle_tv(s, img, x_np, mask_np, w):
         mesh_ck = make_mesh()
         nz_m, ny_m = mesh_ck.devices.shape
         state = {
-            "vote": vote.astype(np.float32),
-            "saliency": score.astype(np.float32),
-            "direction": direction.astype(np.float32),
+            "vote": np.asarray(vote, np.float32),
+            "saliency": np.asarray(score, np.float32),
+            "direction": np.asarray(direction, np.float32),
         }
         # shard (Z, Y) when the mesh divides the volume; otherwise the
         # arrays are stored unsharded (tiny CLI fixtures)
@@ -758,24 +754,23 @@ def handle_tv(s, img, x_np, mask_np, w):
               file=sys.stderr)
         save_sharded(s.save_progress_sharded, state)
 
-    out = score.astype(np.float32)
     labels_img = None
+    direction_np = None
 
     if s.cluster_connected_voxels and vote is not None:
-        # directions <- principal eigenvector of vote tensor
-        _, vev1 = sym3.principal_sym3(
-            sym3.flat_to_full(_maybe_shard(
-                s, jnp.asarray(vote.astype(np.float32)))),
-            order=order)
-        direction = np.asarray(vev1)
+        # directions <- principal eigenvector of vote tensor (device);
+        # label_connected consumes the device arrays directly and, on
+        # the compact/mesh path, transfers only candidate lists
+        _, vev1 = sym3.principal_sym3(sym3.flat_to_full(vote),
+                                      order=order)
         res = label_connected(
-            score.astype(np.float32), mask=mask_np,
+            score, mask=mask_np,
             threshold_saliency=s.connect_threshold_saliency,
-            vector=direction.astype(np.float32),
+            vector=vev1,
             threshold_vector_saliency=s.connect_threshold_vector_saliency,
             threshold_vector_neighbor=s.connect_threshold_vector_neighbor,
             consider_dot_product_sign=False,
-            tensor=vote.astype(np.float32),
+            tensor=vote,
             threshold_tensor_saliency=s.connect_threshold_tensor_saliency,
             threshold_tensor_neighbor=s.connect_threshold_tensor_neighbor,
             tensor_is_positive_definite_near_target=True,
@@ -787,9 +782,11 @@ def handle_tv(s, img, x_np, mask_np, w):
             start_from_saliency_maxima=True,
             mesh=_cli_mesh(s),
             report=sys.stderr)
-        labels = np.where(res.labels > res.num_clusters, -1, res.labels)
         if res.vector_standardized is not None:
-            direction = res.vector_standardized
+            direction_np = res.vector_standardized
+        else:
+            direction_np = np.asarray(vev1)
+        labels = np.where(res.labels > res.num_clusters, -1, res.labels)
         max_label = labels.max() if labels.size else 0
         out = labels.astype(np.float32)
         undef = labels == -1
@@ -798,24 +795,29 @@ def handle_tv(s, img, x_np, mask_np, w):
         else:
             out[undef] = s.undefined_voxel_brightness
         labels_img = out
+    else:
+        out = np.asarray(score, np.float32)
 
     if s.out_normals_fname:
+        if direction_np is None:
+            direction_np = np.asarray(direction)
+        score_np = np.asarray(score)
         crds_list, norms_list = [], []
-        nz, ny, nx = score.shape
-        sel = np.ones(score.shape, bool)
+        nz, ny, nx = score_np.shape
+        sel = np.ones(score_np.shape, bool)
         if mask_np is not None:
             sel &= mask_np != 0
         if not s.cluster_connected_voxels:
             zz, yy, xx = np.nonzero(sel)
             for z, y, xq in zip(zz, yy, xx):
                 crds_list.append((xq * w[0], y * w[1], z * w[2]))
-                norms_list.append(tuple(direction[z, y, xq]))
+                norms_list.append(tuple(direction_np[z, y, xq]))
         else:
             sel &= labels_img == s.select_cluster
             zz, yy, xx = np.nonzero(sel)
             for z, y, xq in zip(zz, yy, xx):
                 xyz, normal = _surface_point(
-                    s, score, direction, labels_img, mask_np,
+                    s, score_np, direction_np, labels_img, mask_np,
                     int(xq), int(y), int(z))
                 if xyz is None:
                     continue

@@ -231,10 +231,11 @@ def tv_dense_stick(
                 truncate_ratio=truncate_ratio,
                 want_denominator=want_den)
         except Exception as exc:
-            # XLA occasionally pins the kernel's result buffer into
-            # scoped VMEM and fails the compile for hw=3 at >=192^3
-            # volumes (compiler placement limitation, see PERF.md);
-            # degrade to the XLA shift-sum path rather than erroring
+            # safety net for unforeseen Mosaic/placement failures (the
+            # known scoped-VMEM stack overflows are prevented by the
+            # kernel's nxp-based estimate + z-chunking, see
+            # ops/tv_pallas.py); degrade to the XLA shift-sum path
+            # rather than erroring
             import sys as _sys
             print("tv_dense_stick: Pallas path failed "
                   f"({type(exc).__name__}); falling back to XLA",

@@ -61,7 +61,14 @@ _MAX_TAPS_PER_CALL = 512
 # so stack + scratch stays inside it (v5e has 128 MiB of VMEM).
 _VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 _STACK_BUDGET_BYTES = 60 * 1024 * 1024
-_STACK_BYTES_PER_TAP_FACTOR = 1.25
+
+
+def _stack_factor(w_len: int) -> float:
+    """Measured Mosaic stack bytes per unrolled tap, in units of
+    (by * nxp * 4): ~1.05 at w_len<=7 (hw<=3), ~2.4 at w_len=11 (hw=5;
+    larger unrolled bodies keep more slices live).  Conservative
+    envelopes -- underestimating fails the compile outright."""
+    return 1.25 if w_len <= 7 else 2.75
 
 
 def _round_up(n: int, m: int) -> int:
@@ -178,7 +185,11 @@ def _tv_pallas_one_call(fields, ker, hw, exponent, detect_curves,
     # flagship bench), presumably by pessimizing XLA's scheduling
     w_len = 2 * hw + 1
     taps = n_tz * w_len * w_len
-    stack_est = int(taps * _STACK_BYTES_PER_TAP_FACTOR * by * nxa * 4)
+    # per-tap slices address the full padded slab width (nxp), so the
+    # stack estimate must use nxp, not the output width nxa: at
+    # 128^3/hw=3 (nxa=128, nxp=256) an nxa-based estimate (19.7 MB)
+    # undershot the measured 23.5 MB stack and failed the compile
+    stack_est = int(taps * _stack_factor(w_len) * by * nxp * 4)
     scratch = n_fields * n_tz * slab_ny * nxp * 4
     out_blk = 2 * n_acc * by * nxa * 4
     vmem_limit = min(_VMEM_LIMIT_BYTES,
@@ -245,9 +256,10 @@ def tv_dense_stick_pallas(
     nxp = _round_up(nxa + 2 * hw, 128)
     by = min(64, _round_up(ny, 8))
     # shrink the y block until one z-plane of taps fits the stack
-    # budget (wide volumes / large windows)
-    while (by > 8 and w_len * w_len * _STACK_BYTES_PER_TAP_FACTOR
-           * by * nxa * 4 > _STACK_BUDGET_BYTES):
+    # budget (wide volumes / large windows); nxp basis, see
+    # _tv_pallas_one_call's stack_est
+    while (by > 8 and w_len * w_len * _stack_factor(w_len)
+           * by * nxp * 4 > _STACK_BUDGET_BYTES):
         by //= 2
     n_yblk = -(-ny // by)
     slab_ny = _round_up(by + 2 * hw, 8)
@@ -262,7 +274,7 @@ def tv_dense_stick_pallas(
     # Mosaic compiler is known to handle, and so the per-call stack
     # estimate stays inside the scoped-VMEM budget
     budget_taps = int(_STACK_BUDGET_BYTES
-                      / (_STACK_BYTES_PER_TAP_FACTOR * by * nxa * 4))
+                      / (_stack_factor(w_len) * by * nxp * 4))
     taps_cap = max(w_len * w_len, min(_MAX_TAPS_PER_CALL, budget_taps))
     tz_per_call = max(1, taps_cap // (w_len * w_len))
     n_chunks = -(-w_len // tz_per_call)
