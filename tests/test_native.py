@@ -153,6 +153,33 @@ def test_connect_compact_parity(use_native, with_tensor):
     _assert_connect_equal(r_dense, r_comp, vec_at_labeled_only=True)
 
 
+@pytest.mark.parametrize("use_native", [True, False])
+@pytest.mark.parametrize("compact", [False, True])
+def test_connect_tensor_without_vector(use_native, compact):
+    """tensor= given but vector=None used to segfault the compact
+    native flood (NULL vector deref) and crash the fallbacks; now the
+    vector gate is simply skipped, identically on every path."""
+    from visfd_tpu.segment import connect as C
+    sal, _vec, tens, mask = _connect_inputs(seed=47)
+    kw = dict(
+        mask=mask,
+        threshold_saliency=0.3,
+        tensor=tens,
+        threshold_tensor_saliency=-0.5,
+        threshold_tensor_neighbor=-0.2,
+        connectivity=3,
+    )
+    with forced_native(use_native):
+        r = C.label_connected(sal, compact=compact, **kw)
+    assert r.num_clusters >= 1
+    assert r.labels.shape == sal.shape
+    # parity across all four (native x compact) paths
+    with forced_native(False):
+        r_ref = C.label_connected(sal, compact=False, **kw)
+    np.testing.assert_array_equal(r.labels, r_ref.labels)
+    assert r.num_clusters == r_ref.num_clusters
+
+
 def test_connect_compact_parity_must_link():
     from visfd_tpu.segment import connect as C
     sal, vec, tens, mask = _connect_inputs(seed=23)

@@ -86,6 +86,109 @@ def test_sharded_membrane_step_matches_single(mesh8):
                                rtol=1e-4, atol=1e-4)
 
 
+def _tv_fields(rng, n):
+    sal = rng.uniform(0, 1, size=(n, n, n)).astype(np.float32)
+    sal[sal < 0.4] = 0.0
+    v = rng.normal(size=(n, n, n, 3)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    return sal, v
+
+
+def test_sharded_tv_pallas_bitwise_matches_single(mesh8, rng):
+    """The per-shard Pallas voting kernel (halo exchange + local
+    kernel) must be BIT-identical to the single-device Pallas kernel:
+    per voxel the tap loop runs in the same order with the same
+    operands, halo rows supplying exactly the values the single-device
+    interior sees (single z-offset chunk at this window size)."""
+    from visfd_tpu.ops.tv_pallas import tv_dense_stick_pallas
+    n, sigma = 32, 1.5
+    sal, v = _tv_fields(rng, n)
+    want, _ = tv_dense_stick_pallas(
+        jnp.asarray(sal), jnp.asarray(v), sigma, exponent=4,
+        truncate_ratio=float(np.sqrt(2.0)), interpret=True)
+    xs = jax.device_put(jnp.asarray(sal), grid_sharding(mesh8))
+    vs = jax.device_put(
+        jnp.asarray(v),
+        jax.sharding.NamedSharding(mesh8, P(*mesh8.axis_names, None)))
+    got, den = SH.tv_accumulate_sharded_pallas(
+        xs, vs, None, sigma, 4, False, float(np.sqrt(2.0)), False,
+        mesh8, interpret=True)
+    assert den is None
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_tv_pallas_masked_denominator(mesh8, rng):
+    """Masked voting + denominator through the sharded kernel =="""
+    from visfd_tpu.ops.tv_pallas import tv_dense_stick_pallas
+    n, sigma = 16, 1.5
+    sal, v = _tv_fields(rng, n)
+    mask = (rng.uniform(size=(n, n, n)) > 0.25).astype(np.float32)
+    want, want_den = tv_dense_stick_pallas(
+        jnp.asarray(sal), jnp.asarray(v), sigma, exponent=4,
+        mask_src=jnp.asarray(mask), want_denominator=True,
+        truncate_ratio=float(np.sqrt(2.0)), interpret=True)
+    gs = grid_sharding(mesh8)
+    got, got_den = SH.tv_accumulate_sharded_pallas(
+        jax.device_put(jnp.asarray(sal), gs),
+        jax.device_put(
+            jnp.asarray(v),
+            jax.sharding.NamedSharding(mesh8, P(*mesh8.axis_names, None))),
+        jax.device_put(jnp.asarray(mask), gs),
+        sigma, 4, False, float(np.sqrt(2.0)), True, mesh8,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(got_den),
+                                  np.asarray(want_den))
+
+
+def test_tv_dense_stick_multidevice_dispatches_to_sharded_pallas(
+        mesh8, rng):
+    """tv_dense_stick on a mesh-sharded input with use_pallas=True
+    must route through the shard_map Pallas path (not silently fall
+    back to the XLA loop) and match the single-device Pallas result
+    bitwise."""
+    from visfd_tpu.ops.tv_pallas import tv_dense_stick_pallas
+    n, sigma = 32, 1.5
+    sal, v = _tv_fields(rng, n)
+    want, _ = tv_dense_stick_pallas(
+        jnp.asarray(sal), jnp.asarray(v), sigma, exponent=4,
+        truncate_ratio=float(np.sqrt(2.0)), interpret=True)
+    xs = jax.device_put(jnp.asarray(sal), grid_sharding(mesh8))
+    vs = jax.device_put(
+        jnp.asarray(v),
+        jax.sharding.NamedSharding(mesh8, P(*mesh8.axis_names, None)))
+    got = TV.tv_dense_stick(
+        xs, vs, sigma, exponent=4, truncate_ratio=float(np.sqrt(2.0)),
+        normalize=False, use_pallas=True)
+    # still sharded over the mesh (no gather happened)
+    assert len(got.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_membrane_step_pallas_matches_xla(mesh8):
+    """make_membrane_step(tv_use_pallas=True) must agree with the XLA
+    accumulation to roundoff (sum order differs across formulations)."""
+    nz = ny = nx = 16
+    img = np.zeros((nz, ny, nx), np.float32)
+    img[:, :, 7:9] = 1.0
+    img += 0.01 * np.arange(nx)[None, None, :]
+    kw = dict(sigma=1.5, tv_sigma=1.5, tv_exponent=4,
+              saliency_threshold=0.0)
+    step_x, sharding = SH.make_membrane_step(
+        mesh8, tv_use_pallas=False, **kw)
+    step_p, _ = SH.make_membrane_step(mesh8, tv_use_pallas=True, **kw)
+    xs = jax.device_put(jnp.asarray(img), sharding)
+    stick_x, vote_x = step_x(xs)
+    stick_p, vote_p = step_p(xs)
+    scale = float(np.abs(np.asarray(vote_x)).max())
+    np.testing.assert_allclose(np.asarray(vote_p), np.asarray(vote_x),
+                               atol=3e-6 * scale)
+    # the trig-closed-form eigensolver amplifies tensor roundoff near
+    # degenerate pairs (measured ~1.3e-4 of scale at this size)
+    np.testing.assert_allclose(np.asarray(stick_p), np.asarray(stick_x),
+                               atol=1e-3 * scale)
+
+
 def test_init_distributed_single_process_noop(monkeypatch):
     """Without a coordinator/env, init_distributed must stay a
     single-process no-op (not hang waiting for a cluster)."""

@@ -115,17 +115,17 @@ def _candidate_counts(is_min, is_max, mid):
 
 @functools.partial(jax.jit, static_argnames=("capacity",))
 def _compact_candidates(sel_min, sel_max, mid, capacity):
-    """Fixed-capacity on-device candidate extraction: flat indices in
-    raster (z, y, x) order (identical to the host ``np.argwhere``
+    """Fixed-capacity on-device candidate extraction: (z, y, x) index
+    triples in raster order (identical to the host ``np.argwhere``
     order the list-building used before) plus gathered scores.  Only
-    ``capacity`` indices+scores cross PCIe, never the volume."""
-    n = mid.size
-    midf = mid.reshape(-1)
+    ``capacity`` indices+scores cross PCIe, never the volume.
+    Per-axis int32 indices never overflow (each dim < 2^31) even for
+    volumes over 2^31 voxels; the host composes int64 flat indices."""
     out = []
     for sel in (sel_min, sel_max):
-        idx = jnp.nonzero(sel.reshape(-1), size=capacity, fill_value=n)[0]
-        out.append(idx.astype(jnp.int32))
-        out.append(midf[jnp.clip(idx, 0, n - 1)])
+        z, y, x = jnp.nonzero(sel, size=capacity, fill_value=0)
+        out.append(jnp.stack([z, y, x], axis=-1).astype(jnp.int32))
+        out.append(mid[z, y, x])
     return tuple(out)
 
 
@@ -142,15 +142,10 @@ def _extract_scale_candidates(is_min, is_max, mid):
     cap = 1 << max(6, int(np.ceil(np.log2(top))))
     cap = min(cap, mid.size)
     im, sm, ix, sx = _compact_candidates(sel_min, sel_max, mid, cap)
-    shape = mid.shape
     res = []
-    for k, (idx, sc) in ((n_min, (im, sm)), (n_max, (ix, sx))):
-        idx = np.asarray(idx)[:k].astype(np.int64)
-        z = idx // (shape[1] * shape[2])
-        rem = idx - z * (shape[1] * shape[2])
-        y = rem // shape[2]
-        x = rem - y * shape[2]
-        res.append((np.stack([z, y, x], -1), np.asarray(sc)[:k]))
+    for k, (zyx, sc) in ((n_min, (im, sm)), (n_max, (ix, sx))):
+        res.append((np.asarray(zyx)[:k].astype(np.int64),
+                    np.asarray(sc)[:k]))
     return res[0], res[1]
 
 

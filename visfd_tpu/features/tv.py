@@ -45,6 +45,40 @@ from visfd_tpu.ops.conv import _ones_denom_1d
 from visfd_tpu.linalg import sym3
 
 
+def _grid_mesh_of(x):
+    """The concrete 2-axis (z, y) Mesh behind a NamedSharding that
+    block-shards exactly the first two axes of a (Z, Y, X[, C]) array
+    evenly -- the layout the CLI's ``-mesh`` / ``grid_sharding`` use.
+    Returns None for any other sharding (callers then fall back to the
+    GSPMD-partitioned XLA path)."""
+    sh = getattr(x, "sharding", None)
+    mesh = getattr(sh, "mesh", None)
+    spec = getattr(sh, "spec", None)
+    if mesh is None or spec is None:
+        return None
+    try:
+        axes = tuple(mesh.axis_names)
+    except Exception:
+        return None
+    if len(axes) != 2:
+        return None
+
+    def norm(e):
+        if isinstance(e, tuple):
+            return e[0] if len(e) == 1 else e
+        return e
+
+    got = tuple(norm(e) for e in tuple(spec))
+    got = got + (None,) * (x.ndim - len(got))
+    if got[:2] != axes or any(g is not None for g in got[2:]):
+        return None
+    sizes = dict(zip(axes, mesh.devices.shape))
+    if (x.shape[0] % sizes[axes[0]] != 0
+            or x.shape[1] % sizes[axes[1]] != 0):
+        return None  # uneven blocks: shard_map cannot partition
+    return mesh
+
+
 def tv_tables(sigma: float, truncate_ratio: float = 2.5):
     """(radial weights (K,), unit displacements (K, 3) in (x, y, z),
     offsets (K, 3) as (jz, jy, jx), halfwidth)."""
@@ -210,26 +244,43 @@ def tv_dense_stick(
     md = None if mask_dest is None else jnp.asarray(mask_dest, jnp.float32)
     want_den = bool(normalize and ms is not None)
     from visfd_tpu.ops.conv import _is_multidevice
+    platform = jax.devices()[0].platform
     if use_pallas is None:
         env = os.environ.get("VISFD_TV_PALLAS")
         if env is not None:
             use_pallas = env == "1"
         else:
-            use_pallas = (hw <= 8
-                          and jax.devices()[0].platform == "tpu")
+            use_pallas = hw <= 8 and platform == "tpu"
+    grid_mesh = None
     if _is_multidevice(saliency):
         # a >1-device GSPMD array cannot feed a single-device Pallas
-        # call; the XLA shift-sum path partitions under GSPMD instead
-        use_pallas = False
+        # call directly; recover the (z, y) grid mesh and run the
+        # kernel per-shard under shard_map with ICI halo exchange
+        # (parallel.sharded.tv_accumulate_sharded_pallas).  Arrays
+        # with any other sharding fall back to the XLA shift-sum path,
+        # which partitions under GSPMD.
+        grid_mesh = _grid_mesh_of(saliency)
+        if grid_mesh is None:
+            use_pallas = False
     if use_pallas:
         from visfd_tpu.ops.tv_pallas import tv_dense_stick_pallas
         try:
-            dest, den = tv_dense_stick_pallas(
-                saliency, nvec, sigma, exponent=int(exponent),
-                mask_src=ms,
-                detect_curves=bool(detect_curves),
-                truncate_ratio=truncate_ratio,
-                want_denominator=want_den)
+            if grid_mesh is not None:
+                from visfd_tpu.parallel.sharded import (
+                    tv_accumulate_sharded_pallas)
+                dest, den = tv_accumulate_sharded_pallas(
+                    saliency, nvec, ms, float(sigma), int(exponent),
+                    bool(detect_curves), float(truncate_ratio),
+                    want_den, grid_mesh,
+                    interpret=platform != "tpu")
+            else:
+                dest, den = tv_dense_stick_pallas(
+                    saliency, nvec, sigma, exponent=int(exponent),
+                    mask_src=ms,
+                    detect_curves=bool(detect_curves),
+                    truncate_ratio=truncate_ratio,
+                    want_denominator=want_den,
+                    interpret=platform != "tpu")
         except Exception as exc:
             # safety net for unforeseen Mosaic/placement failures (the
             # known scoped-VMEM stack overflows are prevented by the

@@ -203,21 +203,23 @@ int64_t visfd_connect_flood(
             < threshold_tensor_neighbor * frobenius_quirk(ti)
               * frobenius_quirk(tj))
           continue;
-        const float *vi = vector_ + 3 * at, *vj = vector_ + 3 * ni;
-        const double dot = (double)vi[0] * vj[0] + (double)vi[1] * vj[1]
-                         + (double)vi[2] * vj[2];
-        const double li2 = (double)vi[0] * vi[0] + (double)vi[1] * vi[1]
-                         + (double)vi[2] * vi[2];
-        const double lj2 = (double)vj[0] * vj[0] + (double)vj[1] * vj[1]
-                         + (double)vj[2] * vj[2];
-        if (consider_sign) {
-          if (dot < threshold_tensor_neighbor * std::sqrt(li2)
-                    * std::sqrt(lj2))
-            continue;
-        } else {
-          if (dot * dot < threshold_vector_neighbor
-                          * threshold_vector_neighbor * li2 * lj2)
-            continue;
+        if (vector_) {  // tensor without vector: skip the vector gate
+          const float *vi = vector_ + 3 * at, *vj = vector_ + 3 * ni;
+          const double dot = (double)vi[0] * vj[0] + (double)vi[1] * vj[1]
+                           + (double)vi[2] * vj[2];
+          const double li2 = (double)vi[0] * vi[0] + (double)vi[1] * vi[1]
+                           + (double)vi[2] * vi[2];
+          const double lj2 = (double)vj[0] * vj[0] + (double)vj[1] * vj[1]
+                           + (double)vj[2] * vj[2];
+          if (consider_sign) {
+            if (dot < threshold_tensor_neighbor * std::sqrt(li2)
+                      * std::sqrt(lj2))
+              continue;
+          } else {
+            if (dot * dot < threshold_vector_neighbor
+                            * threshold_vector_neighbor * li2 * lj2)
+              continue;
+          }
         }
       }
 
@@ -341,22 +343,24 @@ int64_t visfd_connect_flood_compact(
             < threshold_tensor_neighbor * frobenius_quirk(ti)
               * frobenius_quirk(tj))
           continue;
-        const float *vi = vector_c + 3 * (int64_t)ci;
-        const float *vj = vector_c + 3 * (int64_t)cj;
-        const double dot = (double)vi[0] * vj[0] + (double)vi[1] * vj[1]
-                         + (double)vi[2] * vj[2];
-        const double li2 = (double)vi[0] * vi[0] + (double)vi[1] * vi[1]
-                         + (double)vi[2] * vi[2];
-        const double lj2 = (double)vj[0] * vj[0] + (double)vj[1] * vj[1]
-                         + (double)vj[2] * vj[2];
-        if (consider_sign) {
-          if (dot < threshold_tensor_neighbor * std::sqrt(li2)
-                    * std::sqrt(lj2))
-            continue;
-        } else {
-          if (dot * dot < threshold_vector_neighbor
-                          * threshold_vector_neighbor * li2 * lj2)
-            continue;
+        if (vector_c) {  // tensor without vector: skip the vector gate
+          const float *vi = vector_c + 3 * (int64_t)ci;
+          const float *vj = vector_c + 3 * (int64_t)cj;
+          const double dot = (double)vi[0] * vj[0] + (double)vi[1] * vj[1]
+                           + (double)vi[2] * vj[2];
+          const double li2 = (double)vi[0] * vi[0] + (double)vi[1] * vi[1]
+                           + (double)vi[2] * vi[2];
+          const double lj2 = (double)vj[0] * vj[0] + (double)vj[1] * vj[1]
+                           + (double)vj[2] * vj[2];
+          if (consider_sign) {
+            if (dot < threshold_tensor_neighbor * std::sqrt(li2)
+                      * std::sqrt(lj2))
+              continue;
+          } else {
+            if (dot * dot < threshold_vector_neighbor
+                            * threshold_vector_neighbor * li2 * lj2)
+              continue;
+          }
         }
       }
 

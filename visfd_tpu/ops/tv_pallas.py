@@ -220,38 +220,25 @@ def _tv_pallas_one_call(fields, ker, hw, exponent, detect_curves,
     )(*fields)
 
 
-def tv_dense_stick_pallas(
-    saliency: jax.Array,          # (Z, Y, X) float32
-    nvec: jax.Array,              # (Z, Y, X, 3)
-    sigma: float,
-    exponent: int = 4,
-    mask_src: Optional[jax.Array] = None,
-    detect_curves: bool = False,
-    truncate_ratio: float = 2.5,
-    want_denominator: bool = False,
-    interpret: bool = False,
-) -> Tuple[jax.Array, Optional[jax.Array]]:
-    """Raw (unnormalized) vote tensors (Z, Y, X, 6) and optionally the
-    masked-normalization denominator (Z, Y, X)."""
-    nz, ny, nx = saliency.shape
-    hw = int(np.floor(sigma * truncate_ratio))
+def _tv_pallas_padded_core(fields, out_shape, hw, ker, exponent,
+                           detect_curves, want_denominator, interpret):
+    """Run the chunked pallas_calls over fields ALREADY padded by
+    ``hw`` on every face of (z, y, x): shape (nz+2hw, ny+2hw, nx+2hw).
+    The halo rows may be zeros (single-device zero-pad boundary) or
+    real neighbor data (mesh halo exchange inside shard_map) -- the
+    kernel math is identical either way, so the sharded result is
+    bit-identical to the single-device interior."""
+    nz, ny, nx = out_shape
     w_len = 2 * hw + 1
-    ker = K.gen_gauss_kernel_3d((sigma,) * 3, 2.0, (hw,) * 3)
-
-    sal = jnp.asarray(saliency, jnp.float32)
-    if mask_src is not None:
-        m = jnp.asarray(mask_src, jnp.float32)
-        sal_eff = sal * m
-        md = m * 1.0
-    else:
-        sal_eff = sal
-        md = jnp.ones_like(sal)
+    n_fields = 5 if want_denominator else 4
+    assert len(fields) == n_fields
+    assert fields[0].shape == (nz + 2 * hw, ny + 2 * hw, nx + 2 * hw), (
+        fields[0].shape, out_shape, hw)
 
     # y is blocked (grid dim 1) so the VMEM slab scratch stays
     # O(w_len * by * X) no matter how large the volume is; x is padded
     # to a full lane multiple past the output width so both the
     # accumulator and the output DMA are 128-aligned.
-    n_fields = 5 if want_denominator else 4
     nxa = _round_up(nx, 128)
     nxp = _round_up(nxa + 2 * hw, 128)
     by = min(64, _round_up(ny, 8))
@@ -265,10 +252,9 @@ def tv_dense_stick_pallas(
     slab_ny = _round_up(by + 2 * hw, 8)
     # fields padded so every (j*by .. j*by+slab_ny) slab is in bounds
     ny_field = (n_yblk - 1) * by + slab_ny
-    pad = [(hw, hw), (hw, ny_field - ny - hw), (hw, nxp - nx - hw)]
-    fields = [jnp.pad(f, pad) for f in
-              ([sal_eff, nvec[..., 0], nvec[..., 1], nvec[..., 2], md]
-               [:n_fields])]
+    pad = [(0, 0), (0, ny_field - ny - 2 * hw),
+           (0, nxp - nx - 2 * hw)]
+    fields = [jnp.pad(f, pad) for f in fields]
 
     # chunk the z-offsets so no single call unrolls more taps than the
     # Mosaic compiler is known to handle, and so the per-call stack
@@ -292,3 +278,74 @@ def tv_dense_stick_pallas(
     vote = jnp.moveaxis(out[:6], 0, -1)
     den = out[6] if want_denominator else None
     return vote, den
+
+
+def tv_dense_stick_pallas_prepadded(
+    sal_pad: jax.Array,           # (Z+2hw, Y+2hw, X+2hw) float32
+    nvec_pad: jax.Array,          # (Z+2hw, Y+2hw, X+2hw, 3)
+    sigma: float,
+    out_shape: Tuple[int, int, int],
+    exponent: int = 4,
+    mask_pad: Optional[jax.Array] = None,
+    detect_curves: bool = False,
+    truncate_ratio: float = 2.5,
+    want_denominator: bool = False,
+    interpret: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Pallas voting over fields whose hw-deep halos were filled by
+    the CALLER (mesh halo exchange; zeros outside the global volume).
+    This is the per-shard entry the sharded pipelines call inside
+    shard_map.  ``mask_pad``, when given, must carry the halo-padded
+    source mask (it gates votes and feeds the denominator)."""
+    hw = int(np.floor(sigma * truncate_ratio))
+    ker = K.gen_gauss_kernel_3d((sigma,) * 3, 2.0, (hw,) * 3)
+    sal_pad = jnp.asarray(sal_pad, jnp.float32)
+    if mask_pad is not None:
+        m = jnp.asarray(mask_pad, jnp.float32)
+        sal_eff = sal_pad * m
+        md = m * 1.0
+    else:
+        sal_eff = sal_pad
+        md = jnp.ones_like(sal_pad)
+    n_fields = 5 if want_denominator else 4
+    fields = [sal_eff, nvec_pad[..., 0], nvec_pad[..., 1],
+              nvec_pad[..., 2], md][:n_fields]
+    return _tv_pallas_padded_core(
+        fields, tuple(out_shape), hw, ker, int(exponent),
+        bool(detect_curves), bool(want_denominator), interpret)
+
+
+def tv_dense_stick_pallas(
+    saliency: jax.Array,          # (Z, Y, X) float32
+    nvec: jax.Array,              # (Z, Y, X, 3)
+    sigma: float,
+    exponent: int = 4,
+    mask_src: Optional[jax.Array] = None,
+    detect_curves: bool = False,
+    truncate_ratio: float = 2.5,
+    want_denominator: bool = False,
+    interpret: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Raw (unnormalized) vote tensors (Z, Y, X, 6) and optionally the
+    masked-normalization denominator (Z, Y, X)."""
+    nz, ny, nx = saliency.shape
+    hw = int(np.floor(sigma * truncate_ratio))
+    ker = K.gen_gauss_kernel_3d((sigma,) * 3, 2.0, (hw,) * 3)
+
+    sal = jnp.asarray(saliency, jnp.float32)
+    if mask_src is not None:
+        m = jnp.asarray(mask_src, jnp.float32)
+        sal_eff = sal * m
+        md = m * 1.0
+    else:
+        sal_eff = sal
+        md = jnp.ones_like(sal)
+
+    n_fields = 5 if want_denominator else 4
+    pad = [(hw, hw)] * 3
+    fields = [jnp.pad(f, pad) for f in
+              ([sal_eff, nvec[..., 0], nvec[..., 1], nvec[..., 2], md]
+               [:n_fields])]
+    return _tv_pallas_padded_core(
+        fields, (nz, ny, nx), hw, ker, int(exponent),
+        bool(detect_curves), bool(want_denominator), interpret)

@@ -68,8 +68,13 @@ def init_distributed(
         # a coordinator (auto-detecting pods here is unsafe -- single-
         # host tooling commonly sets TPU_* env vars)
         return False
-    from jax._src import xla_bridge
-    if xla_bridge.backends_are_initialized():
+    try:  # private API: absent/renamed across JAX versions
+        from jax._src import xla_bridge
+        backends_up = xla_bridge.backends_are_initialized()
+    except (ImportError, AttributeError):
+        backends_up = False  # cannot check; proceed and let
+        # jax.distributed.initialize raise if it is truly too late
+    if backends_up:
         import warnings
         warnings.warn(
             "visfd_tpu: multi-host init requested but the JAX backend "

@@ -154,27 +154,28 @@ def _candidate_bound_f32(threshold: float, sign: float):
 def _candidate_mask(sal, mvalid, t32, pred_gt):
     undef = (sal > t32) if pred_gt else (sal < t32)
     cand = ~undef & (mvalid != 0)
-    # int32 holds any addressable candidate count under jit (x64 off)
-    return cand, jnp.sum(cand, dtype=jnp.int32)
+    # per-z-plane int32 counts (each plane < 2^31 voxels); the host
+    # sums them in int64 so >=2^31-voxel volumes don't overflow
+    return cand, jnp.sum(cand, axis=(1, 2), dtype=jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "capacity", "has_tensor", "has_vector"))
 def _compact_connect(cand, sal, discard, tensor, vector, capacity,
                      has_tensor, has_vector):
-    """Fixed-capacity candidate extraction: flat indices in raster
-    order plus gathered per-candidate saliency/discard/tensor/vector.
-    Only these lists cross PCIe."""
-    n = sal.size
-    idx = jnp.nonzero(cand.reshape(-1), size=capacity, fill_value=n)[0]
-    safe = jnp.clip(idx, 0, n - 1)
-    out = [idx,
-           sal.reshape(-1)[safe],
-           discard.reshape(-1)[safe].astype(jnp.uint8)]
+    """Fixed-capacity candidate extraction: (z, y, x) index triples in
+    raster order plus gathered per-candidate saliency/discard/tensor/
+    vector.  Only these lists cross PCIe.  Per-axis int32 indices are
+    overflow-safe for >=2^31-voxel volumes (the host composes int64
+    flat indices)."""
+    z, y, x = jnp.nonzero(cand, size=capacity, fill_value=0)
+    out = [jnp.stack([z, y, x], axis=-1).astype(jnp.int32),
+           sal[z, y, x],
+           discard[z, y, x].astype(jnp.uint8)]
     if has_tensor:
-        out.append(tensor.reshape(n, 6)[safe])
+        out.append(tensor[z, y, x])
     if has_vector:
-        out.append(vector.reshape(n, 3)[safe])
+        out.append(vector[z, y, x])
     return tuple(out)
 
 
@@ -351,7 +352,7 @@ def label_connected(
         offs_c = np.ascontiguousarray(np.asarray(offs, np.int32))
         tensor_c = (None if tensor is None
                     else np.ascontiguousarray(tensor, np.float32))
-        vector_c = (None if tensor is None
+        vector_c = (None if vector is None
                     else np.ascontiguousarray(vector, np.float32))
         labels = np.empty(saliency.shape, np.int64)
         basin2cluster = np.empty(max(n_basins, 1), np.int64)
@@ -413,9 +414,9 @@ def _flood_compact(sal_j, discard_j, mask, offs, sign, threshold_saliency,
               else jnp.asarray(mask, jnp.float32))
     if sal_j.sharding is not None and not sal_j.sharding.is_fully_replicated:
         mvalid = jax.device_put(mvalid, sal_j.sharding)
-    cand_j, count = _candidate_mask(sal_j, mvalid, jnp.float32(t32),
-                                    pred_gt)
-    n_cand = int(count)
+    cand_j, counts = _candidate_mask(sal_j, mvalid, jnp.float32(t32),
+                                     pred_gt)
+    n_cand = int(np.asarray(counts).astype(np.int64).sum())
 
     has_tensor = tensor_j is not None
     has_vector = vector_j is not None
@@ -428,7 +429,8 @@ def _flood_compact(sal_j, discard_j, mask, offs, sign, threshold_saliency,
             vector_j if has_vector else dummy,
             cap, has_tensor, has_vector)
         parts = iter(parts)
-        idx = np.asarray(next(parts))[:n_cand].astype(np.int64)
+        zyx = np.asarray(next(parts))[:n_cand].astype(np.int64)
+        idx = (zyx[:, 0] * ny + zyx[:, 1]) * nx + zyx[:, 2]
         sal_c = np.ascontiguousarray(np.asarray(next(parts))[:n_cand])
         disc_c = np.ascontiguousarray(np.asarray(next(parts))[:n_cand])
         tens_c = (np.ascontiguousarray(np.asarray(next(parts))[:n_cand])
@@ -469,8 +471,7 @@ def _flood_compact(sal_j, discard_j, mask, offs, sign, threshold_saliency,
             native.ptr(offs_c, ctypes.c_int32), len(offs),
             float(sign), float(threshold_saliency),
             native.ptr(tens_c, ctypes.c_float),
-            native.ptr(vec_c if tens_c is not None else None,
-                       ctypes.c_float),
+            native.ptr(vec_c, ctypes.c_float),
             float(threshold_tensor_neighbor),
             float(threshold_vector_neighbor),
             int(consider_sign),
@@ -499,6 +500,7 @@ def _flood_compact(sal_j, discard_j, mask, offs, sign, threshold_saliency,
         if has_tensor:
             tens_d = np.zeros(shape + (6,), np.float32)
             tens_d.reshape(-1, 6)[idx] = tens_c
+        if has_vector:
             vecl_d = np.zeros(shape + (3,), np.float32)
             vecl_d.reshape(-1, 3)[idx] = vec_c
         vs_d = None
@@ -555,6 +557,8 @@ def _flood_python(saliency, valid, discard, seed_locs, seed_scores,
                     * frobenius_norm_sym3_quirk(ti)
                     * frobenius_norm_sym3_quirk(tj)):
                 return False
+            if vector is None:
+                return True  # tensor without vector: skip the gate
             # reference quirk: this vector check is gated on the
             # TENSOR being present, and the signed branch compares
             # against threshold_tensor_neighbor (connect.hpp:646-673)
