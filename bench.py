@@ -150,6 +150,46 @@ def main():
         float(c.ravel()[0])
         return (time.time() - t0) / n_iters
 
+    # third tracked config: -tv-best sparse voting at hw=3 on a
+    # blob-sparse volume (the reference's "up to 64x" cost lever,
+    # doc_filter_mrc.md:769-788; our occupancy-gated kernel skips
+    # empty source z-planes and their DMAs)
+    try:
+        from visfd_tpu.ops.tv_pallas import tv_dense_stick_pallas
+        nb = n
+        zz, yy, xx = np.meshgrid(*([np.arange(nb)] * 3), indexing="ij")
+        sal_sp = np.zeros((nb, nb, nb), np.float32)
+        for c, r in (((30, 40, 40), 6), ((35, 80, 60), 8),
+                     ((100, 100, 30), 5)):
+            d2 = np.sqrt((zz - c[0]) ** 2 + (yy - c[1]) ** 2
+                         + (xx - c[2]) ** 2)
+            sal_sp[d2 < r] = 1.0
+        rngs = np.random.default_rng(3)
+        vv = rngs.normal(size=(nb, nb, nb, 3)).astype(np.float32)
+        vv /= np.linalg.norm(vv, axis=-1, keepdims=True)
+        sal_j = jnp.asarray(sal_sp)
+        v_j = jnp.asarray(vv)
+        fsp = jax.jit(lambda s_, v_: tv_dense_stick_pallas(
+            s_, v_, 2.2, exponent=4,
+            truncate_ratio=float(np.sqrt(2.0)), sparse=True)[0])
+        out = fsp(sal_j, v_j)
+        float(out.ravel()[0])
+        import time as _t
+        t0 = _t.time()
+        n_it = max(10, iters // 4)
+        for _ in range(n_it):
+            out = fsp(sal_j, v_j)
+        float(out.ravel()[0])
+        dts = (_t.time() - t0) / n_it
+        print(json.dumps({
+            "metric": "tv_sparse_hw3_blob_voxels_per_s",
+            "value": round((nb ** 3) / dts, 1),
+            "unit": "voxels/s",
+            "vs_baseline": vs((nb ** 3) / dts),
+        }), file=sys.stderr)
+    except Exception as e:
+        print(f"bench: sparse hw3 config failed ({e})", file=sys.stderr)
+
     # second tracked config: the realistic production TV window
     # (sigma_tv = 2.2 voxels => hw = 3 at the default truncate sqrt(2))
     # -- the round-2 kernel fell off a 50x XLA-fallback cliff exactly

@@ -70,6 +70,46 @@ def test_pallas_matches_jnp_masked_with_denominator(rng):
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("hw", [2, 3])
+def test_pallas_sparse_bitwise_matches_dense(rng, hw):
+    """sparse=True (occupancy-gated tap groups, the -tv-best fast
+    path) must match the dense kernel to the last ulp: skipped groups
+    contribute exact zeros, so the only residual differences are FMA
+    contraction choices the compiler makes for the two structures
+    (measured <= 1 ulp)."""
+    sigma = hw / np.sqrt(2.0) + 1e-6
+    n = 16
+    sal = rng.uniform(0, 1, size=(n, n, n)).astype(np.float32)
+    sal[sal < 0.95] = 0.0  # ~5% occupancy, like -tv-best 0.05
+    v = rng.normal(size=(n, n, n, 3)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    kw = dict(exponent=4, truncate_ratio=float(np.sqrt(2.0)),
+              interpret=True)
+    want, _ = tv_dense_stick_pallas(
+        jnp.asarray(sal), jnp.asarray(v), sigma, sparse=False, **kw)
+    got, _ = tv_dense_stick_pallas(
+        jnp.asarray(sal), jnp.asarray(v), sigma, sparse=True, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-7, atol=0)
+
+
+def test_pallas_sparse_masked_denominator(rng):
+    n, sigma = 12, 1.5
+    sal, v = _random_fields(rng, n)
+    sal[sal < 0.8] = 0.0
+    mask = (rng.uniform(size=(n, n, n)) > 0.25).astype(np.float32)
+    kw = dict(exponent=4, mask_src=jnp.asarray(mask),
+              want_denominator=True, interpret=True)
+    want, wden = tv_dense_stick_pallas(
+        jnp.asarray(sal), jnp.asarray(v), sigma, sparse=False, **kw)
+    got, gden = tv_dense_stick_pallas(
+        jnp.asarray(sal), jnp.asarray(v), sigma, sparse=True, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-7, atol=0)
+    np.testing.assert_allclose(np.asarray(gden), np.asarray(wden),
+                               rtol=3e-7, atol=0)
+
+
 def test_pallas_curve_mode(rng):
     n, sigma = 7, 1.2
     sal, v = _random_fields(rng, n)

@@ -693,6 +693,13 @@ def handle_tv(s, img, x_np, mask_np, w):
             if mask is not None:
                 vote = vote * (mask[..., None] != 0)
         elif not s.load_intermediate_fname_base:
+            # -tv-best kept only the top `thr` fraction of saliencies
+            # (default 0.05): the occupancy-gated sparse kernel skips
+            # the all-zero source rows, the TPU counterpart of the
+            # reference's source-skip branch (feature.hpp:1704-1709,
+            # "up to 64 times faster")
+            tv_sparse = bool(s.hessian_score_threshold_is_a_fraction
+                             and float(s.hessian_score_threshold) <= 0.5)
             with stage("dense stick tensor voting", rep):
                 vote = TV.tv_dense_stick(
                     score, direction,
@@ -700,7 +707,7 @@ def handle_tv(s, img, x_np, mask_np, w):
                     mask_src=mask, mask_dest=mask,
                     detect_curves=(s.filter_type == S.CURVE),
                     truncate_ratio=s.tv_truncate_ratio,
-                    normalize=False)
+                    normalize=False, sparse=tv_sparse)
         else:
             chans = []
             for d in range(6):

@@ -223,6 +223,7 @@ def tv_dense_stick(
     normalize: bool = True,
     diagonalize_dest: bool = False,
     use_pallas: Optional[bool] = None,
+    sparse: Optional[bool] = None,
 ) -> jax.Array:
     """Run dense stick voting; returns (Z, Y, X, 6) vote tensors (or
     [eivals, shoemake] when diagonalize_dest).
@@ -235,7 +236,13 @@ def tv_dense_stick(
     windows up to hw <= 8 (the kernel chunks the z-offsets so each
     pallas_call body stays within the Mosaic compiler's unroll budget;
     see ops/tv_pallas.py), XLA everywhere else (CPU tests, very large
-    windows where the per-chunk output re-accumulation dominates)."""
+    windows where the per-chunk output re-accumulation dominates).
+
+    ``sparse`` (Pallas paths only): skip vote work for all-zero source
+    rows -- the TPU counterpart of the reference's "-tv-best" skip
+    branch (feature.hpp:1704-1709, "up to 64 times faster").  Bit-
+    identical to the dense kernel; the CLI enables it automatically
+    when a top-fraction saliency threshold zeroed most sources."""
     import os
     w, rhat, offs, hw = tv_tables(sigma, truncate_ratio)
     saliency = jnp.asarray(saliency, jnp.float32)
@@ -272,7 +279,8 @@ def tv_dense_stick(
                     saliency, nvec, ms, float(sigma), int(exponent),
                     bool(detect_curves), float(truncate_ratio),
                     want_den, grid_mesh,
-                    interpret=platform != "tpu")
+                    interpret=platform != "tpu",
+                    sparse=bool(sparse))
             else:
                 dest, den = tv_dense_stick_pallas(
                     saliency, nvec, sigma, exponent=int(exponent),
@@ -280,7 +288,8 @@ def tv_dense_stick(
                     detect_curves=bool(detect_curves),
                     truncate_ratio=truncate_ratio,
                     want_denominator=want_den,
-                    interpret=platform != "tpu")
+                    interpret=platform != "tpu",
+                    sparse=bool(sparse))
         except Exception as exc:
             # safety net for unforeseen Mosaic/placement failures (the
             # known scoped-VMEM stack overflows are prevented by the

@@ -75,7 +75,7 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def _tv_kernel(hw, exponent, detect_curves, ker, want_den,
+def _tv_kernel(hw, exponent, detect_curves, ker, want_den, sparse,
                by, nxa, tz_lo, tz_hi, *refs):
     n_fields = 5 if want_den else 4
     w_len = 2 * hw + 1
@@ -97,83 +97,146 @@ def _tv_kernel(hw, exponent, detect_curves, ker, want_den,
             slabs[f], sems.at[f])
         for f in range(n_fields)
     ]
-    for c in copies:
-        c.start()
-    for c in copies:
-        c.wait()
+    if not sparse:
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+    else:
+        # sparse mode fetches ONLY the saliency slab up front; the
+        # direction/mask slabs are DMA'd inside the occupancy branch,
+        # so fully-empty receiver blocks cost 1 field of bandwidth
+        # instead of n_fields
+        copies[0].start()
+        copies[0].wait()
 
     n_acc = 7 if want_den else 6
-    acc = [jnp.zeros((by, nxa), jnp.float32) for _ in range(n_acc)]
     ny = by  # receiver rows in this block
 
-    for tz in range(tz_lo, tz_hi):
-        jz = tz - hw
-        src_z = (2 * hw - tz) - (2 * hw - (tz_hi - 1))  # slab-local
-        s2r = slabs[0][src_z]
-        b0r = slabs[1][src_z]
-        b1r = slabs[2][src_z]
-        b2r = slabs[3][src_z]
-        m2r = slabs[4][src_z] if want_den else None
-        for ty in range(w_len):
-            for tx in range(w_len):
-                jy = ty - hw
-                jx = tx - hw
-                r2c = float(jz * jz + jy * jy + jx * jx)
-                # per-tap weight from the SAME normalized corner-
-                # truncated kernel as the XLA table (tv.tv_tables /
-                # gen_gauss_kernel_3d), so tap sets and weights agree
-                # bitwise -- recomputing exp() here once disagreed on
-                # the r^2 == hw^2 corner shell at hw=3 (13% error)
-                w = float(ker[tz, ty, tx])
-                if w == 0.0:
-                    continue  # corner-truncated tap
-                ln = float(np.sqrt(r2c)) if r2c > 0 else 1.0
-                rx, ry, rz = jx / ln, jy / ln, jz / ln
-                y0 = hw - jy
-                x0 = hw - jx
-                sl = (slice(y0, y0 + ny), slice(x0, x0 + nxa))
-                s = s2r[sl]
-                a0 = b0r[sl]
-                a1 = b1r[sl]
-                a2 = b2r[sl]
+    # sparse mode ("-tv-best" voting, where ~95% of sources have zero
+    # saliency after the top-fraction threshold): a per-source-z-plane
+    # occupancy scalar (max |saliency| over the slab row, one 2-D
+    # reduce each) gates each z-offset's whole w_len^2 tap group
+    # behind pl.when, and a whole-block gate additionally skips the
+    # direction-field DMAs and every tap.  Gating at the tz level
+    # keeps the accumulators in registers across each group (spill to
+    # the blocked out_ref once per z-offset, ~1/w_len^2 of the group's
+    # compute), so fully-dense volumes pay almost nothing.  Skipped
+    # groups contribute exact zeros (parity with the dense kernel to
+    # FMA-contraction ulps; tests/test_tv_pallas.py pins rtol 3e-7).
+    # (An XLA-precomputed occupancy-grid input that also skipped the
+    # saliency DMA faulted the TPU worker -- Mosaic miscompile of the
+    # input-DMA-under-conditional structure; this in-slab variant is
+    # the stable one.)
+    zmax = None
+    if sparse:
+        zmax = [jnp.max(jnp.abs(slabs[0][z]))
+                for z in range(n_tz)]  # scalar per source z-plane
+        block_occ = zmax[0]
+        for z in range(1, n_tz):
+            block_occ = jnp.maximum(block_occ, zmax[z])
+        for ch in range(n_acc):
+            out_ref[ch, 0] = jnp.zeros((by, nxa), jnp.float32)
 
-                sin_t = a0 * rx + a1 * ry + a2 * rz
-                sin2 = sin_t * sin_t
-                ang2 = sin2 if detect_curves else 1.0 - sin2
-                if exponent == 2:
-                    dec = ang2
-                elif exponent % 2 == 0:
-                    dec = ang2
-                    for _ in range(exponent // 2 - 1):
-                        dec = dec * ang2
-                else:
-                    dec = jnp.abs(ang2) ** (0.5 * exponent)
-                sx2 = 2.0 * sin_t
-                if detect_curves:
-                    r0 = a0 - sx2 * rx
-                    r1 = a1 - sx2 * ry
-                    r2v = a2 - sx2 * rz
-                else:
-                    r0 = sx2 * rx - a0
-                    r1 = sx2 * ry - a1
-                    r2v = sx2 * rz - a2
-                amp = s * (w * dec)
-                acc[0] = acc[0] + amp * r0 * r0
-                acc[1] = acc[1] + amp * r1 * r1
-                acc[2] = acc[2] + amp * r2v * r2v
-                acc[3] = acc[3] + amp * r0 * r1
-                acc[4] = acc[4] + amp * r1 * r2v
-                acc[5] = acc[5] + amp * r0 * r2v
-                if want_den:
-                    m = m2r[sl]
-                    acc[6] = acc[6] + jnp.where(s != 0.0, w * m, 0.0)
+    def run_tap_groups(sparse_gated):
+        acc = (None if sparse_gated
+               else [jnp.zeros((by, nxa), jnp.float32)
+                     for _ in range(n_acc)])
+        for tz in range(tz_lo, tz_hi):
+            jz = tz - hw
+            src_z = (2 * hw - tz) - (2 * hw - (tz_hi - 1))  # slab-local
+            s2r = slabs[0][src_z]
+            b0r = slabs[1][src_z]
+            b1r = slabs[2][src_z]
+            b2r = slabs[3][src_z]
+            m2r = slabs[4][src_z] if want_den else None
 
-    for ch in range(n_acc):
-        out_ref[ch, 0] = acc[ch]
+            def z_group(acc, tz=tz, jz=jz, s2r=s2r, b0r=b0r, b1r=b1r,
+                        b2r=b2r, m2r=m2r):
+                for ty in range(w_len):
+                    jy = ty - hw
+                    y0g = hw - jy
+                    for tx in range(w_len):
+                        jx = tx - hw
+                        r2c = float(jz * jz + jy * jy + jx * jx)
+                        # per-tap weight from the SAME normalized corner-
+                        # truncated kernel as the XLA table (tv.tv_tables /
+                        # gen_gauss_kernel_3d), so tap sets and weights
+                        # agree bitwise -- recomputing exp() here once
+                        # disagreed on the r^2 == hw^2 corner shell at
+                        # hw=3 (13% error)
+                        w = float(ker[tz, ty, tx])
+                        if w == 0.0:
+                            continue  # corner-truncated tap
+                        ln = float(np.sqrt(r2c)) if r2c > 0 else 1.0
+                        rx, ry, rz = jx / ln, jy / ln, jz / ln
+                        x0 = hw - jx
+                        sl = (slice(y0g, y0g + ny), slice(x0, x0 + nxa))
+                        s = s2r[sl]
+                        a0 = b0r[sl]
+                        a1 = b1r[sl]
+                        a2 = b2r[sl]
+
+                        sin_t = a0 * rx + a1 * ry + a2 * rz
+                        sin2 = sin_t * sin_t
+                        ang2 = sin2 if detect_curves else 1.0 - sin2
+                        if exponent == 2:
+                            dec = ang2
+                        elif exponent % 2 == 0:
+                            dec = ang2
+                            for _ in range(exponent // 2 - 1):
+                                dec = dec * ang2
+                        else:
+                            dec = jnp.abs(ang2) ** (0.5 * exponent)
+                        sx2 = 2.0 * sin_t
+                        if detect_curves:
+                            r0 = a0 - sx2 * rx
+                            r1 = a1 - sx2 * ry
+                            r2v = a2 - sx2 * rz
+                        else:
+                            r0 = sx2 * rx - a0
+                            r1 = sx2 * ry - a1
+                            r2v = sx2 * rz - a2
+                        amp = s * (w * dec)
+                        acc[0] = acc[0] + amp * r0 * r0
+                        acc[1] = acc[1] + amp * r1 * r1
+                        acc[2] = acc[2] + amp * r2v * r2v
+                        acc[3] = acc[3] + amp * r0 * r1
+                        acc[4] = acc[4] + amp * r1 * r2v
+                        acc[5] = acc[5] + amp * r0 * r2v
+                        if want_den:
+                            m = m2r[sl]
+                            acc[6] = acc[6] + jnp.where(s != 0.0, w * m, 0.0)
+                return acc
+
+            if not sparse_gated:
+                acc = z_group(acc)
+            else:
+                @pl.when(zmax[src_z] != 0.0)
+                def _(z_group=z_group):
+                    a = [out_ref[ch, 0] for ch in range(n_acc)]
+                    a = z_group(a)
+                    for ch in range(n_acc):
+                        out_ref[ch, 0] = a[ch]
+        return acc
+
+    if not sparse:
+        acc = run_tap_groups(sparse_gated=False)
+        for ch in range(n_acc):
+            out_ref[ch, 0] = acc[ch]
+    else:
+        @pl.when(block_occ != 0.0)
+        def _():
+            for c in copies[1:]:
+                c.start()
+            for c in copies[1:]:
+                c.wait()
+            run_tap_groups(sparse_gated=True)
+
 
 
 def _tv_pallas_one_call(fields, ker, hw, exponent, detect_curves,
-                        want_den, by, n_yblk, slab_ny, nxa,
+                        want_den, sparse, by, n_yblk, slab_ny, nxa,
                         nz, tz_lo, tz_hi, interpret):
     n_fields = 5 if want_den else 4
     n_acc = 7 if want_den else 6
@@ -197,19 +260,20 @@ def _tv_pallas_one_call(fields, ker, hw, exponent, detect_curves,
                          stack_est + scratch + out_blk + 4 * 1024 * 1024))
     kern = functools.partial(
         _tv_kernel, hw, exponent, detect_curves, ker,
-        want_den, by, nxa, tz_lo, tz_hi)
+        want_den, sparse, by, nxa, tz_lo, tz_hi)
+    n_ins = n_fields
+    scratch = [pltpu.VMEM((n_tz, slab_ny, nxp), jnp.float32)] * n_fields
+    scratch = scratch + [pltpu.SemaphoreType.DMA((n_fields,))]
     return pl.pallas_call(
         kern,
         grid=(nz, n_yblk),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_fields,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_ins,
         out_specs=pl.BlockSpec((n_acc, 1, by, nxa),
                                lambda i, j: (0, i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_acc, nz, n_yblk * by, nxa),
                                        jnp.float32),
-        scratch_shapes=(
-            [pltpu.VMEM((n_tz, slab_ny, nxp), jnp.float32)] * n_fields
-            + [pltpu.SemaphoreType.DMA((n_fields,))]),
+        scratch_shapes=scratch,
         # the raised per-kernel scoped-VMEM window is what lets hw >= 3
         # compile: Mosaic's stack allocator does not reuse slots across
         # the unrolled taps (see _STACK_BUDGET_BYTES above), and the
@@ -221,7 +285,8 @@ def _tv_pallas_one_call(fields, ker, hw, exponent, detect_curves,
 
 
 def _tv_pallas_padded_core(fields, out_shape, hw, ker, exponent,
-                           detect_curves, want_denominator, interpret):
+                           detect_curves, want_denominator, interpret,
+                           sparse=False):
     """Run the chunked pallas_calls over fields ALREADY padded by
     ``hw`` on every face of (z, y, x): shape (nz+2hw, ny+2hw, nx+2hw).
     The halo rows may be zeros (single-device zero-pad boundary) or
@@ -270,7 +335,7 @@ def _tv_pallas_padded_core(fields, out_shape, hw, ker, exponent,
         tz_hi = min(w_len, tz_lo + tz_per_call)
         part = _tv_pallas_one_call(
             fields, ker, hw, exponent, detect_curves,
-            want_denominator, by, n_yblk, slab_ny, nxa,
+            want_denominator, sparse, by, n_yblk, slab_ny, nxa,
             nz, tz_lo, tz_hi, interpret)
         out = part if out is None else out + part
 
@@ -291,6 +356,7 @@ def tv_dense_stick_pallas_prepadded(
     truncate_ratio: float = 2.5,
     want_denominator: bool = False,
     interpret: bool = False,
+    sparse: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Pallas voting over fields whose hw-deep halos were filled by
     the CALLER (mesh halo exchange; zeros outside the global volume).
@@ -312,7 +378,8 @@ def tv_dense_stick_pallas_prepadded(
               nvec_pad[..., 2], md][:n_fields]
     return _tv_pallas_padded_core(
         fields, tuple(out_shape), hw, ker, int(exponent),
-        bool(detect_curves), bool(want_denominator), interpret)
+        bool(detect_curves), bool(want_denominator), interpret,
+        sparse=bool(sparse))
 
 
 def tv_dense_stick_pallas(
@@ -325,9 +392,13 @@ def tv_dense_stick_pallas(
     truncate_ratio: float = 2.5,
     want_denominator: bool = False,
     interpret: bool = False,
+    sparse: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Raw (unnormalized) vote tensors (Z, Y, X, 6) and optionally the
-    masked-normalization denominator (Z, Y, X)."""
+    masked-normalization denominator (Z, Y, X).  ``sparse`` gates
+    (tz, ty) tap groups on per-row source occupancy (pl.when) --
+    equal to the dense kernel to the last ulp, large speedup when most
+    saliencies are zero (-tv-best)."""
     nz, ny, nx = saliency.shape
     hw = int(np.floor(sigma * truncate_ratio))
     ker = K.gen_gauss_kernel_3d((sigma,) * 3, 2.0, (hw,) * 3)
@@ -348,4 +419,5 @@ def tv_dense_stick_pallas(
                [:n_fields])]
     return _tv_pallas_padded_core(
         fields, (nz, ny, nx), hw, ker, int(exponent),
-        bool(detect_curves), bool(want_denominator), interpret)
+        bool(detect_curves), bool(want_denominator), interpret,
+        sparse=bool(sparse))

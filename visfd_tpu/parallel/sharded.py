@@ -159,6 +159,7 @@ def tv_accumulate_sharded_pallas(
     want_denominator: bool,
     mesh: Mesh,
     interpret: bool = False,
+    sparse: bool = False,
 ):
     """Raw (unnormalized) vote accumulation of a mesh-sharded volume
     through the per-shard Pallas kernel: halo-exchange saliency /
@@ -183,7 +184,8 @@ def tv_accumulate_sharded_pallas(
             sal_pad, n_pad, sigma, sal.shape, exponent=exponent,
             mask_pad=m_pad, detect_curves=detect_curves,
             truncate_ratio=truncate_ratio,
-            want_denominator=want_denominator, interpret=interpret)
+            want_denominator=want_denominator, interpret=interpret,
+            sparse=sparse)
         if den is None:
             den = jnp.zeros_like(sal)
         return dest, den
