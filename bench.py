@@ -48,6 +48,27 @@ def build_step(tv_mode: str, tv_sigma: float = 2.0):
     blur_pallas = _use_pallas_blur((n, n, n), (2 * hw + 1,) * 3)
 
     def step(x, k1, w_t, rh_t, off_t):
+        if tv_mode == "pallas":
+            # fully fused Pallas pipeline (ops/eigen_pallas.py): the
+            # Hessian/eigen/score stages never round-trip multi-channel
+            # fields through HBM, and every stage exchanges channel-
+            # MAJOR planes (measured 6.4x over the XLA eigen stages +
+            # Pallas TV combination at 128^3 on v5e)
+            from visfd_tpu.ops.blur_pallas import blur3_pallas
+            from visfd_tpu.ops.tv_pallas import tv_dense_stick_pallas
+            from visfd_tpu.ops.eigen_pallas import (
+                hessian_principal_pallas, sym3_score_pallas)
+            blur = (blur3_pallas(x, (k1, k1, k1)) if blur_pallas
+                    else _sep3(x, k1, k1, k1, use_pallas=False))
+            saliency, direction = hessian_principal_pallas(
+                blur, sigma, decreasing=True, formula="planar",
+                want_v=True)
+            vote, _ = tv_dense_stick_pallas(
+                saliency, direction, float(tv_sigma), exponent=4,
+                truncate_ratio=float(np.sqrt(2.0)), channel_major=True)
+            stick, _ = sym3_score_pallas(vote, decreasing=True,
+                                         formula="stick")
+            return stick
         blur = _sep3(x, k1, k1, k1, use_pallas=blur_pallas)
         hess = FH.hessian_fd(blur) * (sigma * sigma)
         eivals, direction = sym3.principal_sym3(
@@ -55,18 +76,12 @@ def build_step(tv_mode: str, tv_sigma: float = 2.0):
         l1, l2 = eivals[..., 0], eivals[..., 1]
         nrm = l1 * l1 - l2 * l2
         saliency = nrm * nrm
-        if tv_mode == "pallas":
-            from visfd_tpu.ops.tv_pallas import tv_dense_stick_pallas
-            vote, _ = tv_dense_stick_pallas(
-                saliency, direction, float(tv_sigma), exponent=4,
-                truncate_ratio=float(np.sqrt(2.0)))
-        else:
-            pad = [(tv_hw, tv_hw)] * 3
-            vote, _ = TV.tv_accumulate_padded(
-                jnp.pad(saliency, pad),
-                jnp.pad(direction, pad + [(0, 0)]),
-                jnp.pad(jnp.ones_like(saliency), pad),
-                saliency.shape, w_t, rh_t, off_t, 4, False, tv_hw, False)
+        pad = [(tv_hw, tv_hw)] * 3
+        vote, _ = TV.tv_accumulate_padded(
+            jnp.pad(saliency, pad),
+            jnp.pad(direction, pad + [(0, 0)]),
+            jnp.pad(jnp.ones_like(saliency), pad),
+            saliency.shape, w_t, rh_t, off_t, 4, False, tv_hw, False)
         vvals, _ = sym3.diagonalize_sym3(
             sym3.flat_to_full(vote), order=sym3.EigenOrder.DECREASING,
             want_vects=False)
@@ -131,12 +146,12 @@ def main():
         return round(v / b, 3) if b else 1.0
 
     def run_mode_chained(mode, tv_sigma, n_iters):
-        """Chained independent dispatches (one per volume, the way the
-        CLI executes) synchronized by a single value fetch.  Used for
-        hw=3: inside fori_loop XLA pins the Pallas TV result into
-        scoped VMEM and fails the compile -- a loop-placement quirk
-        production never hits because each volume is its own
-        dispatch."""
+        """Chained dependent dispatches (one per volume, the way the
+        CLI executes) synchronized by a single value fetch.  Fallback
+        only: the round-3 fori_loop compile failure at hw=3 (XLA
+        pinned the Pallas TV result into scoped VMEM inside loops) is
+        gone now that the TV output feeds the fused Pallas eigen
+        kernel instead of an XLA eigendecomposition."""
         step, tables = build_step(mode, tv_sigma=tv_sigma)
         jl = jax.jit(lambda c, *t: c + step(c, *t) * 1e-30)
         x = jnp.asarray(np.random.default_rng(0).normal(
@@ -196,8 +211,12 @@ def main():
     # here; keep it visible in every BENCH_r*.json (stderr JSON line;
     # the final stdout line stays the driver's single tracked metric)
     try:
-        dt3 = run_mode_chained(tv_mode, tv_sigma=2.2,
-                               n_iters=max(10, iters // 4))
+        try:
+            dt3 = run_mode(tv_mode, tv_sigma=2.2,
+                           loop_iters=max(10, iters // 4))
+        except Exception:
+            dt3 = run_mode_chained(tv_mode, tv_sigma=2.2,
+                                   n_iters=max(10, iters // 4))
         print(json.dumps({
             "metric": "membrane_tv_hw3_pipeline_voxels_per_s",
             "value": round((n ** 3) / dt3, 1),

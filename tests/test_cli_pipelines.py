@@ -207,6 +207,32 @@ def test_membrane_pipeline(workdir):
     assert os.path.getsize("memb.ply") > 0
 
 
+def test_membrane_pipeline_fused_parity(workdir, monkeypatch):
+    """The fused Pallas eigen/TV pipeline (VISFD_FUSED_EIGEN=1, which
+    runs the kernels in interpret mode on CPU) reproduces the XLA
+    flagship -membrane -tv -connect output."""
+    args = ("-w 19.2 -in test_image_membrane.rec -out {out}"
+            " -membrane minima 55 -tv 4 -tv-angle-exponent 4 -bin 2"
+            " -connect 1e+09 -connect-angle 30")
+    monkeypatch.setenv("VISFD_FUSED_EIGEN", "0")
+    log_ref = run_fm(args.format(out="memb_ref.rec"), capture=True)
+    monkeypatch.setenv("VISFD_FUSED_EIGEN", "1")
+    log_fus = run_fm(args.format(out="memb_fused.rec"), capture=True)
+    assert "falling back" not in log_fus
+
+    def n_clusters(log):
+        return int([ln for ln in log.splitlines()
+                    if "Number of clusters found:" in ln][0].split()[-1])
+
+    assert n_clusters(log_fus) == n_clusters(log_ref)
+    a = mrc.read_mrc("memb_ref.rec").data
+    b = mrc.read_mrc("memb_fused.rec").data
+    # label maps may differ only where float rounding flips a
+    # threshold comparison; demand near-total agreement
+    agree = np.mean(a == b)
+    assert agree > 0.999, f"label agreement {agree}"
+
+
 def test_edge_cli_brute_oracle(tmp_path, monkeypatch):
     """Brute-force oracle for the -edge (gradient magnitude) CLI path,
     which the reference binary refuses to run (settings.cpp:2754-2770;

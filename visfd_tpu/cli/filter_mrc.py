@@ -61,6 +61,21 @@ def _cli_mesh(s: Settings):
     return make_mesh(n)
 
 
+def _fused_eigen_enabled(s: Settings) -> bool:
+    """Whether ``handle_tv`` should run the fused Pallas
+    Hessian->eigen->TV->eigen pipeline (``ops/eigen_pallas.py``):
+    single-device TPU only (the -mesh path runs the per-shard kernels
+    under shard_map instead).  VISFD_FUSED_EIGEN=1/0 forces it (tests
+    use =1 on CPU, which runs the kernels in interpret mode)."""
+    import os
+    env = os.environ.get("VISFD_FUSED_EIGEN")
+    if env is not None:
+        return env == "1"
+    import jax
+    return (jax.devices()[0].platform == "tpu"
+            and _cli_mesh(s) is None)
+
+
 def _maybe_shard(s: Settings, arr):
     """device_put ``arr`` with the (z, y) grid sharding when -mesh is
     active; GSPMD then partitions every dense stage consuming it (XLA
@@ -643,28 +658,64 @@ def handle_tv(s, img, x_np, mask_np, w):
             x, s.width_b[0], mask=mask, truncate_halfwidth=(hw,) * 3,
             normalize=s.normalize_near_boundaries)
 
+    import jax as _jax
+    interp = _jax.devices()[0].platform != "tpu"
+    fused = (s.filter_type in (S.SURFACE_RIDGE, S.CURVE)
+             and _fused_eigen_enabled(s)
+             and min(x.shape) >= 3)
+    dir_cm = None            # channel-major (3, Z, Y, X) direction
     with stage("gaussian blur + hessian + eigendecomposition", rep):
-        grad, hess = FH.calc_hessian(x, sigma, mask=mask, truncate_ratio=tr)
-        # the handler consumes eivals and the principal eigenvector
-        # only (handlers.cpp:1645-1746) -> fast single-vector solver
-        eivals, ev1 = sym3.principal_sym3(sym3.flat_to_full(hess),
-                                          order=order)
-    if s.filter_type == S.CURVE:
-        score = FH.score_hessian_linear(eivals)
-    elif s.filter_type == S.SURFACE_EDGE:
-        score = jnp.linalg.norm(grad, axis=-1)
-    else:
-        score = FH.score_hessian_planar(eivals)
+        if fused:
+            # fused Pallas path (ops/eigen_pallas.py): blur -> FD
+            # Hessian -> principal eigensolve -> score, with the
+            # 6-channel Hessian and both eigen stages never touching
+            # HBM (6.4x over the XLA stages on v5e, PERF.md)
+            try:
+                from visfd_tpu.ops.eigen_pallas import (
+                    hessian_principal_pallas)
+                hwb = max(1, int(np.floor(sigma * tr)))
+                blur = F.apply_gauss(x, sigma, mask=mask,
+                                     truncate_halfwidth=(hwb,) * 3)
+                score, dir_cm = hessian_principal_pallas(
+                    blur, sigma,
+                    decreasing=(order == sym3.EigenOrder.DECREASING),
+                    formula=("linear" if s.filter_type == S.CURVE
+                             else "planar"),
+                    want_v=True, interpret=interp)
+            except Exception as exc:
+                print("handle_tv: fused eigen path failed "
+                      f"({type(exc).__name__}); falling back to XLA",
+                      file=sys.stderr)
+                fused = False
+        if not fused:
+            grad, hess = FH.calc_hessian(x, sigma, mask=mask,
+                                         truncate_ratio=tr)
+            # the handler consumes eivals and the principal eigenvector
+            # only (handlers.cpp:1645-1746) -> fast single-vector solver
+            eivals, ev1 = sym3.principal_sym3(sym3.flat_to_full(hess),
+                                              order=order)
+    if not fused:
+        if s.filter_type == S.CURVE:
+            score = FH.score_hessian_linear(eivals)
+        elif s.filter_type == S.SURFACE_EDGE:
+            score = jnp.linalg.norm(grad, axis=-1)
+        else:
+            score = FH.score_hessian_planar(eivals)
     if background is not None:
         score = score * (x - background)
     if mask is not None:
         score = jnp.where(mask != 0, score, 0.0)
 
-    direction = grad
-    if s.filter_type != S.SURFACE_EDGE:
-        direction = ev1
+    if fused:
         if mask is not None:
-            direction = direction * (mask[..., None] != 0)
+            dir_cm = dir_cm * (mask[None] != 0)
+        direction = dir_cm   # converted to channel-last at consumers
+    else:
+        direction = grad
+        if s.filter_type != S.SURFACE_EDGE:
+            direction = ev1
+            if mask is not None:
+                direction = direction * (mask[..., None] != 0)
 
     # saliency thresholding (top fraction) -- handlers.cpp:1751-1797.
     # The reference sorts every voxel on the host; we compute the same
@@ -681,6 +732,8 @@ def handle_tv(s, img, x_np, mask_np, w):
     score = jnp.where(score < thr, 0.0, score)
 
     vote = None
+    vote_cm = None           # channel-major (6, Z, Y, X) vote tensor
+    vev_cm = None            # channel-major principal vote eigenvector
     if s.tv_sigma > 0:
         if s.load_progress_sharded:
             # mesh-sharded orbax checkpoint (extension); the .rec
@@ -701,13 +754,35 @@ def handle_tv(s, img, x_np, mask_np, w):
             tv_sparse = bool(s.hessian_score_threshold_is_a_fraction
                              and float(s.hessian_score_threshold) <= 0.5)
             with stage("dense stick tensor voting", rep):
-                vote = TV.tv_dense_stick(
-                    score, direction,
-                    s.tv_sigma, exponent=s.tv_exponent,
-                    mask_src=mask, mask_dest=mask,
-                    detect_curves=(s.filter_type == S.CURVE),
-                    truncate_ratio=s.tv_truncate_ratio,
-                    normalize=False, sparse=tv_sparse)
+                if fused:
+                    try:
+                        from visfd_tpu.ops.tv_pallas import (
+                            tv_dense_stick_pallas)
+                        vote_cm, _ = tv_dense_stick_pallas(
+                            score, direction, s.tv_sigma,
+                            exponent=s.tv_exponent, mask_src=mask,
+                            detect_curves=(s.filter_type == S.CURVE),
+                            truncate_ratio=s.tv_truncate_ratio,
+                            want_denominator=False, interpret=interp,
+                            sparse=tv_sparse, channel_major=True)
+                        if mask is not None:
+                            vote_cm = jnp.where((mask != 0)[None],
+                                                vote_cm, 0.0)
+                    except Exception as exc:
+                        print("handle_tv: fused TV path failed "
+                              f"({type(exc).__name__}); falling back",
+                              file=sys.stderr)
+                        vote_cm = None
+                if vote_cm is None:
+                    dir_cl = (jnp.moveaxis(direction, 0, -1)
+                              if fused else direction)
+                    vote = TV.tv_dense_stick(
+                        score, dir_cl,
+                        s.tv_sigma, exponent=s.tv_exponent,
+                        mask_src=mask, mask_dest=mask,
+                        detect_curves=(s.filter_type == S.CURVE),
+                        truncate_ratio=s.tv_truncate_ratio,
+                        normalize=False, sparse=tv_sparse)
         else:
             chans = []
             for d in range(6):
@@ -718,16 +793,36 @@ def handle_tv(s, img, x_np, mask_np, w):
                 np.stack(chans, axis=-1).astype(np.float32)))
             if mask is not None:
                 vote = vote * (mask[..., None] != 0)
-        diag = sym3.diagonalize_flat_sym3(vote, order=order)
-        if s.filter_type == S.CURVE:
-            new_score = FH.score_tensor_linear(diag[..., :3])
+        if vote_cm is not None:
+            # fused eigen score of the channel-major vote tensor; the
+            # same pass also yields the principal eigenvector -connect
+            # consumes, so the vote field is read once, not three times
+            from visfd_tpu.ops.eigen_pallas import sym3_score_pallas
+            new_score, vev_cm = sym3_score_pallas(
+                vote_cm,
+                decreasing=(order == sym3.EigenOrder.DECREASING),
+                formula=("linear" if s.filter_type == S.CURVE
+                         else "stick"),
+                want_v=bool(s.cluster_connected_voxels),
+                interpret=interp)
         else:
-            new_score = FH.score_tensor_planar(diag[..., :3])
+            diag = sym3.diagonalize_flat_sym3(vote, order=order)
+            if s.filter_type == S.CURVE:
+                new_score = FH.score_tensor_linear(diag[..., :3])
+            else:
+                new_score = FH.score_tensor_planar(diag[..., :3])
         if background is not None:
             new_score = new_score * (x - background)
         if mask is not None:
             new_score = jnp.where(mask != 0, new_score, score)
         score = new_score
+
+    if vote is None and vote_cm is not None and (
+            s.save_intermediate_fname_base or s.save_progress_sharded
+            or s.cluster_connected_voxels):
+        # terminal consumers (file formats, label_connected's tensor
+        # gates) expect the channel-last layout; one transpose here
+        vote = jnp.moveaxis(vote_cm, 0, -1)
 
     if s.save_intermediate_fname_base and vote is not None:
         vote_np = np.asarray(vote)
@@ -747,7 +842,9 @@ def handle_tv(s, img, x_np, mask_np, w):
         state = {
             "vote": np.asarray(vote, np.float32),
             "saliency": np.asarray(score, np.float32),
-            "direction": np.asarray(direction, np.float32),
+            "direction": np.asarray(
+                jnp.moveaxis(direction, 0, -1) if fused else direction,
+                np.float32),
         }
         # shard (Z, Y) when the mesh divides the volume; otherwise the
         # arrays are stored unsharded (tiny CLI fixtures)
@@ -768,8 +865,11 @@ def handle_tv(s, img, x_np, mask_np, w):
         # directions <- principal eigenvector of vote tensor (device);
         # label_connected consumes the device arrays directly and, on
         # the compact/mesh path, transfers only candidate lists
-        _, vev1 = sym3.principal_sym3(sym3.flat_to_full(vote),
-                                      order=order)
+        if vev_cm is not None:
+            vev1 = jnp.moveaxis(vev_cm, 0, -1)
+        else:
+            _, vev1 = sym3.principal_sym3(sym3.flat_to_full(vote),
+                                          order=order)
         res = label_connected(
             score, mask=mask_np,
             threshold_saliency=s.connect_threshold_saliency,
@@ -807,7 +907,8 @@ def handle_tv(s, img, x_np, mask_np, w):
 
     if s.out_normals_fname:
         if direction_np is None:
-            direction_np = np.asarray(direction)
+            direction_np = np.asarray(
+                jnp.moveaxis(direction, 0, -1) if fused else direction)
         score_np = np.asarray(score)
         crds_list, norms_list = [], []
         nz, ny, nx = score_np.shape

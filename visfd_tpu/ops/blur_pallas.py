@@ -187,7 +187,6 @@ def blur3_pallas(x, kernels_xyz, interpret: bool = False) -> jax.Array:
     """Separable 3-D convolution (kx, ky, kz 1-D kernels, zero padding)
     in a single fused HBM pass.  Drop-in replacement for
     ``ops.conv._sep3``."""
-    kx, ky, kz = (jnp.asarray(np.asarray(k), jnp.float32)
-                  for k in kernels_xyz)
+    kx, ky, kz = (jnp.asarray(k, jnp.float32) for k in kernels_xyz)
     return _blur3_pallas_jit(jnp.asarray(x, jnp.float32),
                              kz, ky, kx, interpret=interpret)

@@ -286,7 +286,7 @@ def _tv_pallas_one_call(fields, ker, hw, exponent, detect_curves,
 
 def _tv_pallas_padded_core(fields, out_shape, hw, ker, exponent,
                            detect_curves, want_denominator, interpret,
-                           sparse=False):
+                           sparse=False, channel_major=False):
     """Run the chunked pallas_calls over fields ALREADY padded by
     ``hw`` on every face of (z, y, x): shape (nz+2hw, ny+2hw, nx+2hw).
     The halo rows may be zeros (single-device zero-pad boundary) or
@@ -340,7 +340,12 @@ def _tv_pallas_padded_core(fields, out_shape, hw, ker, exponent,
         out = part if out is None else out + part
 
     out = out[:, :, :ny, :nx]
-    vote = jnp.moveaxis(out[:6], 0, -1)
+    if channel_major:
+        # native accumulator layout (6, Z, Y, X) -- feeds
+        # ops.eigen_pallas.sym3_score_pallas without a transpose
+        vote = out[:6]
+    else:
+        vote = jnp.moveaxis(out[:6], 0, -1)
     den = out[6] if want_denominator else None
     return vote, den
 
@@ -384,7 +389,7 @@ def tv_dense_stick_pallas_prepadded(
 
 def tv_dense_stick_pallas(
     saliency: jax.Array,          # (Z, Y, X) float32
-    nvec: jax.Array,              # (Z, Y, X, 3)
+    nvec: jax.Array,              # (Z, Y, X, 3) or (3, Z, Y, X)
     sigma: float,
     exponent: int = 4,
     mask_src: Optional[jax.Array] = None,
@@ -393,8 +398,10 @@ def tv_dense_stick_pallas(
     want_denominator: bool = False,
     interpret: bool = False,
     sparse: bool = False,
+    channel_major: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
-    """Raw (unnormalized) vote tensors (Z, Y, X, 6) and optionally the
+    """Raw (unnormalized) vote tensors (Z, Y, X, 6) -- or channel-major
+    (6, Z, Y, X) with ``channel_major=True`` -- and optionally the
     masked-normalization denominator (Z, Y, X).  ``sparse`` gates
     (tz, ty) tap groups on per-row source occupancy (pl.when) --
     equal to the dense kernel to the last ulp, large speedup when most
@@ -414,10 +421,13 @@ def tv_dense_stick_pallas(
 
     n_fields = 5 if want_denominator else 4
     pad = [(hw, hw)] * 3
+    if nvec.ndim == 4 and nvec.shape[0] == 3 and nvec.shape[1:] == sal.shape:
+        nv = (nvec[0], nvec[1], nvec[2])   # channel-major direction field
+    else:
+        nv = (nvec[..., 0], nvec[..., 1], nvec[..., 2])
     fields = [jnp.pad(f, pad) for f in
-              ([sal_eff, nvec[..., 0], nvec[..., 1], nvec[..., 2], md]
-               [:n_fields])]
+              ([sal_eff, nv[0], nv[1], nv[2], md][:n_fields])]
     return _tv_pallas_padded_core(
         fields, (nz, ny, nx), hw, ker, int(exponent),
         bool(detect_curves), bool(want_denominator), interpret,
-        sparse=bool(sparse))
+        sparse=bool(sparse), channel_major=bool(channel_major))
