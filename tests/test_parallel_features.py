@@ -231,3 +231,57 @@ def test_kth_largest_duplicates_and_mesh_sizes(rng):
     for nd in (1, 2, 8):
         got = float(R.kth_largest(x, 1234, make_mesh(nd)))
         assert got == sv[1234]
+
+
+@pytest.mark.parametrize("n_devices", [1, 8])
+def test_sharded_watershed_markers_identical(rng, n_devices):
+    """Marker-seeded watershed: the minimax flood runs SHARDED (round
+    4) and must stay bit-identical to the single-device path --
+    labels, basin locations, scores."""
+    from visfd_tpu.segment.propagate import propagate_watershed
+    from visfd_tpu.parallel.sharded_features import (
+        propagate_watershed_sharded)
+    x = rng.normal(size=(11, 14, 13)).astype(np.float32)
+    for ax in range(3):
+        x = (x + np.roll(x, 1, ax) + np.roll(x, -1, ax)) / 3.0
+    markers = np.zeros(x.shape, np.int64)
+    markers[2, 3, 4] = 7
+    markers[8, 9, 10] = 3
+    markers[5, 2, 11] = 12
+    mask = (rng.random(x.shape) > 0.08).astype(np.float32)
+    for minima in (True, False):
+        for m in (None, mask):
+            ref = propagate_watershed(x, mask=m, markers=markers,
+                                      start_from_minima=minima)
+            got = propagate_watershed_sharded(
+                x, make_mesh(n_devices), mask=m, markers=markers,
+                start_from_minima=minima)
+            assert got.num_basins == ref.num_basins
+            np.testing.assert_array_equal(got.labels, ref.labels)
+            np.testing.assert_array_equal(got.basin_locations,
+                                          ref.basin_locations)
+            np.testing.assert_array_equal(got.basin_scores,
+                                          ref.basin_scores)
+
+
+@pytest.mark.parametrize("markers", [False, True])
+def test_sharded_watershed_boundaries_identical(rng, markers):
+    """show_boundaries: the boundary minimax flood runs sharded; the
+    Meyer boundary labels must equal the single-device result."""
+    from visfd_tpu.segment.propagate import propagate_watershed
+    from visfd_tpu.parallel.sharded_features import (
+        propagate_watershed_sharded)
+    x = rng.permutation(12 * 13 * 14).astype(np.float32).reshape(
+        12, 13, 14)
+    mk = None
+    if markers:
+        mk = np.zeros(x.shape, np.int64)
+        mk[3, 3, 3] = 2
+        mk[9, 10, 11] = 5
+    ref = propagate_watershed(x, markers=mk, show_boundaries=True,
+                              label_boundary=77)
+    got = propagate_watershed_sharded(x, make_mesh(8), markers=mk,
+                                      show_boundaries=True,
+                                      label_boundary=77)
+    assert got.num_basins == ref.num_basins
+    np.testing.assert_array_equal(got.labels, ref.labels)

@@ -57,8 +57,11 @@ def _bench(fn, args, iters, perturb):
     jl = jax.jit(lambda c, *a: perturb(c, fn(c, *a)))
 
     def force(o):
+        # scalar-index, NOT ravel: reshaping a 4-D channel-last output
+        # to 1-D forces a tiled relayout copy that can exceed HBM at
+        # 384^3 (observed 29 GB allocation for (384,384,384,3))
         leaves = jax.tree_util.tree_leaves(o)
-        return float(_jnp.ravel(leaves[0])[0])
+        return float(leaves[0][(0,) * leaves[0].ndim])
 
     c = jl(*args)
     force(c)   # warm / compile
@@ -80,7 +83,20 @@ def main():
                     help="TV stages use min(size, tv_size): larger "
                          "volumes exceed the axon tunnel request cap")
     ap.add_argument("--stages", default="all",
-                    help="comma list: gauss,hessian,eig,tv,blob,pipeline")
+                    help="comma list: gauss,hessian,eig,tv,tvlarge,"
+                         "blob,pipeline")
+    ap.add_argument("--tv-large", type=int, default=384,
+                    help="production-scale TV validation volume edge "
+                         "(saliency/direction generated ON DEVICE so "
+                         "the compile request stays under the tunnel "
+                         "cap); 0 disables")
+    ap.add_argument("--capacity-sizes", default="448,512",
+                    help="volume edges for the single-chip capacity "
+                         "probe (grows until HBM overflow)")
+    ap.add_argument("--tv-large-hw", default="3,5",
+                    help="comma list of vote halfwidths for the "
+                         "production-scale rows (run one per "
+                         "invocation when the tunnel is slow)")
     ap.add_argument("--dense-size", type=int, default=384,
                     help="volume edge for the bandwidth-bound dense "
                          "stages (gauss/hessian); 128^3 is dispatch-"
@@ -90,6 +106,11 @@ def main():
                     help="blob-ladder volume edge; 384^3 is the largest "
                          "single-channel volume under the axon tunnel's "
                          "request cap (512^3 exceeds it)")
+    ap.add_argument("--merge", action="store_true",
+                    help="merge results into an existing PERF.json "
+                         "(keeps rows from stages not re-run), so "
+                         "long stage sets can run as separate "
+                         "invocations under the tunnel's time limits")
     cfg = ap.parse_args()
     stages = set(cfg.stages.split(","))
 
@@ -119,6 +140,12 @@ def main():
     x = jnp.asarray(rng.normal(size=(n, n, n)).astype(np.float32))
 
     results = {}
+    prior_parity = {}
+    if cfg.merge and os.path.exists(cfg.out_prefix + ".json"):
+        with open(cfg.out_prefix + ".json") as f:
+            prior = json.load(f)
+        results.update(prior.get("stages", {}))
+        prior_parity = prior.get("tv_parity_max_rel_vs_xla", {})
 
     def record(name, dt, bytes_per_vox=None, flops_per_vox=None,
                note="", vox=None):
@@ -222,6 +249,46 @@ def main():
         record("sym3_full", dt, bytes_per_vox=(6 + 12) * 4,
                note="all eigenvalues + eigenvectors", vox=n_eig ** 3)
 
+    # ---- 3b. fused Pallas eigen kernels (ops/eigen_pallas.py) ----
+    from visfd_tpu.ops.eigen_pallas import (hessian_principal_pallas,
+                                            sym3_score_pallas)
+
+    if want("eig"):
+        # kernel A replaces hessian_fd + principal_sym3 + planar score
+        # in ONE pass: 1ch volume in, score + 3ch eigenvector out
+        def hess_eig_fused(v):
+            s, vv = hessian_principal_pallas(
+                v, 2.0, decreasing=True, formula="planar", want_v=True)
+            return s + vv[0]
+
+        try:
+            dt = _bench(hess_eig_fused, (xd,), cfg.iters, scalar_perturb)
+            record("hessian_eig_fused", dt, bytes_per_vox=(1 + 4) * 4,
+                   vox=nd ** 3,
+                   note=f"fused FD Hessian + principal eigensolve + "
+                        f"planar score, one kernel, {nd}^3")
+        except Exception as e:
+            print(f"hessian_eig_fused: FAILED ({e})", file=sys.stderr)
+            results["hessian_eig_fused"] = {"error": str(e)}
+
+        # kernel C replaces diagonalize(want_vects=False) + stick score
+        # over the channel-major vote tensor
+        t6 = jnp.moveaxis(hfield, -1, 0)
+
+        def sym3_fused(t):
+            s, _ = sym3_score_pallas(t, decreasing=True, formula="stick")
+            return s
+
+        try:
+            dt = _bench(sym3_fused, (t6,), cfg.iters, scalar_perturb)
+            record("sym3_score_fused", dt, bytes_per_vox=(6 + 1) * 4,
+                   vox=n_eig ** 3,
+                   note="fused eigenvalues + stick score of channel-"
+                        "major tensor field")
+        except Exception as e:
+            print(f"sym3_score_fused: FAILED ({e})", file=sys.stderr)
+            results["sym3_score_fused"] = {"error": str(e)}
+
     # ---- 4. tensor voting at hw in {2, 3, 5} ----
     n_tv = min(n, cfg.tv_size)
     x_tv = x[:n_tv, :n_tv, :n_tv]
@@ -236,7 +303,7 @@ def main():
         taps = int((ker > 0).sum())
         return taps * 30
 
-    parity = {}
+    parity = dict(prior_parity)
     for hw_ in ((2, 3, 5) if want("tv") else ()):
         tv_sigma = hw_ / np.sqrt(2.0) + 1e-6  # floor(sigma*sqrt2) == hw
         w_np, rh_np, off_np, hw_chk = TV.tv_tables(tv_sigma, np.sqrt(2.0))
@@ -306,6 +373,133 @@ def main():
                                           if k.endswith(str(hw_))}),
               file=sys.stderr)
 
+    # ---- 4b. production-scale TV validation (default 384^3) ----
+    # round-2/3 asks: prove the Pallas TV kernel at hw in {3, 5} at
+    # production volume.  The saliency/direction fields are GENERATED
+    # ON DEVICE (jax.random) so the compile request ships no large
+    # arrays (the axon tunnel 413-caps requests around 256^3 x 3ch).
+    if want("tvlarge") and cfg.tv_large > 0:
+        n_l = cfg.tv_large
+
+        # cheap deterministic on-device fields (iota + sin hash):
+        # jax.random at this size adds minutes of compile through the
+        # tunnel's per-request AOT helper, and shipping host arrays
+        # trips the request-size cap.  sal and nvec are SEPARATE
+        # single-output jits: the combined two-output program wedged
+        # the tunnel's AOT compile helper indefinitely (observed
+        # >20 min with no response; each half compiles in seconds).
+        def _iotas():
+            zz = jax.lax.broadcasted_iota(jnp.float32, (n_l,) * 3, 0)
+            yy = jax.lax.broadcasted_iota(jnp.float32, (n_l,) * 3, 1)
+            xx = jax.lax.broadcasted_iota(jnp.float32, (n_l,) * 3, 2)
+            return zz, yy, xx
+
+        @jax.jit
+        def gen_sal():
+            zz, yy, xx = _iotas()
+            return jnp.abs(jnp.sin(zz * 12.9898 + yy * 78.233
+                                   + xx * 37.719))
+
+        @jax.jit
+        def gen_nv():
+            zz, yy, xx = _iotas()
+            v0 = jnp.sin(zz * 1.3 + yy * 2.7 + xx * 0.71 + 1.0)
+            v1 = jnp.sin(zz * 0.9 + yy * 1.1 + xx * 2.3 + 2.0)
+            v2 = jnp.sin(zz * 2.1 + yy * 0.6 + xx * 1.7 + 3.0) + 0.05
+            nv = jnp.stack([v0, v1, v2], 0)   # channel-major (3,Z,Y,X)
+            return nv / jnp.maximum(
+                jnp.sqrt(jnp.sum(nv * nv, 0, keepdims=True)), 1e-12)
+
+        hw_list = tuple(int(h) for h in cfg.tv_large_hw.split(","))
+        try:
+            sal_l = gen_sal()
+            float(sal_l[0, 0, 0])
+            nvec_l = gen_nv()
+            float(nvec_l[0, 0, 0, 0])
+            for hw_ in hw_list:
+                tv_sigma_l = hw_ / np.sqrt(2.0) + 1e-6
+                fl = tv_flops(hw_)
+
+                def tv_pal_l(s, nv, tv_sigma_l=tv_sigma_l):
+                    vote, _ = tv_dense_stick_pallas(
+                        s, nv, tv_sigma_l, exponent=4,
+                        truncate_ratio=float(np.sqrt(2.0)))
+                    return vote
+
+                try:
+                    dt = _bench(lambda s, _f=tv_pal_l: _f(s, nvec_l),
+                                (sal_l,), max(3, cfg.iters // 6),
+                                lambda c, o: c + jnp.mean(o) * 1e-30)
+                    record(f"tv_pallas_hw{hw_}_{n_l}", dt,
+                           bytes_per_vox=(4 * (2 * hw_ + 1) + 6) * 4,
+                           flops_per_vox=fl, vox=n_l ** 3,
+                           note=f"window {2*hw_+1}^3, exponent 4, "
+                                f"{n_l}^3 (production scale)")
+                except Exception as e:
+                    print(f"tv_pallas_hw{hw_}_{n_l}: FAILED "
+                          f"({type(e).__name__}: {e})", file=sys.stderr)
+                    results[f"tv_pallas_hw{hw_}_{n_l}"] = {
+                        "error": str(e)}
+        except Exception as e:
+            print(f"tvlarge field generation FAILED ({e})",
+                  file=sys.stderr)
+
+    # ---- 4c. capacity: largest single-chip flagship volume ----
+    # the README capacity table's measured anchor: run the fused
+    # flagship chain (blur -> fused Hessian/eigen -> TV hw=3 ->
+    # fused stick score) at growing volumes until HBM overflows,
+    # recording throughput and the device's peak-bytes counter
+    if want("capacity"):
+        from visfd_tpu.ops.blur_pallas import blur3_pallas
+        from visfd_tpu.ops.eigen_pallas import (
+            hessian_principal_pallas as _hp, sym3_score_pallas as _sp)
+        from visfd_tpu.ops.tv_pallas import (
+            tv_dense_stick_pallas as _tvp)
+        sigma_c = 2.0
+        hw_c = int(np.floor(sigma_c * 2.5))
+        k1_c = jnp.asarray(K.gauss_kernel_1d(sigma_c, hw_c))
+        tv_sigma_c = 3 / np.sqrt(2.0) + 1e-6   # hw = 3 (production)
+        for n_c in [int(v) for v in cfg.capacity_sizes.split(",")]:
+            @jax.jit
+            def gen_c(n_c=n_c):
+                zz = jax.lax.broadcasted_iota(jnp.float32, (n_c,) * 3, 0)
+                yy = jax.lax.broadcasted_iota(jnp.float32, (n_c,) * 3, 1)
+                xx = jax.lax.broadcasted_iota(jnp.float32, (n_c,) * 3, 2)
+                return jnp.sin(zz * 12.99 + yy * 78.2 + xx * 37.7)
+
+            def flagship(v, k1):
+                blur = blur3_pallas(v, (k1, k1, k1))
+                sal, dvec = _hp(blur, sigma_c, decreasing=True,
+                                formula="planar", want_v=True)
+                vote, _ = _tvp(sal, dvec, tv_sigma_c, exponent=4,
+                               truncate_ratio=float(np.sqrt(2.0)),
+                               channel_major=True)
+                s, _ = _sp(vote, decreasing=True, formula="stick")
+                return s
+
+            try:
+                x_c = gen_c()
+                float(x_c[0, 0, 0])
+                dt = _bench(flagship, (x_c, k1_c), 3, scalar_perturb)
+                stats = {}
+                try:
+                    stats = dev.memory_stats() or {}
+                except Exception:
+                    pass
+                peak = stats.get("peak_bytes_in_use", 0)
+                bpv = peak / n_c ** 3 if peak else 0
+                record(f"flagship_fused_{n_c}", dt, vox=n_c ** 3,
+                       note=f"full fused chain at {n_c}^3 (hw=3 TV); "
+                            f"peak HBM {peak/1e9:.1f} GB"
+                            + (f" = {bpv:.0f} B/voxel" if peak else ""))
+                del x_c
+            except Exception as e:
+                msg = str(e).splitlines()[0][:120]
+                print(f"flagship_fused_{n_c}: FAILED ({msg})",
+                      file=sys.stderr)
+                results[f"flagship_fused_{n_c}"] = {"error": msg}
+                break
+
     # ---- 5. blob scale-space ladder at large volume ----
     # exercises the device-side candidate compaction: per sigma, only
     # an 8-byte count + the candidate index/score lists cross PCIe
@@ -340,9 +534,12 @@ def main():
 
         dt = _bench(lambda c, *t: piped(c, *t), (x_pipe,) + tables,
                     max(3, cfg.iters // 3), lambda c, o: o)
-        record(f"pipeline_{mode}", dt, vox=n_tv ** 3,
-               note=f"blur->hessian->eigh->saliency->TV(hw2)->eigh->"
-                    f"stick, {n_tv}^3")
+        note = (f"fused Pallas pipeline: blur->hess+eig+score->TV(hw2)"
+                f"->eig score, channel-major, {n_tv}^3"
+                if mode == "pallas" else
+                f"XLA: blur->hessian->eigh->saliency->TV(hw2)->eigh->"
+                f"stick, {n_tv}^3")
+        record(f"pipeline_{mode}", dt, vox=n_tv ** 3, note=note)
 
     report = {
         "device_kind": kind,
@@ -396,6 +593,15 @@ def main():
         "",
         "## Formulation bake-off decisions",
         "",
+        "- **The fused Pallas eigen kernels are the default single-",
+        "  device TPU path for the flagship CLI** (round 4,",
+        "  ops/eigen_pallas.py): FD Hessian + principal eigensolve +",
+        "  score fused into one kernel (no 6-channel HBM round-trip),",
+        "  vote-tensor eigen scores computed in the voting kernel's",
+        "  channel-major layout.  Also resolved the round-3 fori_loop",
+        "  scoped-VMEM pinning: with a Pallas consumer for the vote",
+        "  tensor, multi-iteration jitted loops over the full membrane",
+        "  step compile and run at hw=3.",
         "- **Pallas row-streaming is the default TV path on TPU for",
         "  hw <= 8** (features/tv.py): measured ~8-15x over the XLA",
         "  shift-sum at hw 2-5, parity < 1e-6.  Round 3 removed the",

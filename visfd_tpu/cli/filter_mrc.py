@@ -79,15 +79,28 @@ def _fused_eigen_enabled(s: Settings) -> bool:
 def _maybe_shard(s: Settings, arr):
     """device_put ``arr`` with the (z, y) grid sharding when -mesh is
     active; GSPMD then partitions every dense stage consuming it (XLA
-    inserts the halo collectives -- same math, same results)."""
+    inserts the halo collectives -- same math, same results).  Axes the
+    mesh does not divide evenly are left unsharded (device_put rejects
+    ragged NamedSharding blocks), so odd-shaped volumes still run --
+    partially sharded instead of crashing."""
     if arr is None:
         return None
     mesh = _cli_mesh(s)
     if mesh is None:
         return arr
     import jax
-    from visfd_tpu.parallel.mesh import grid_sharding
-    return jax.device_put(jnp.asarray(arr), grid_sharding(mesh))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    nz_m, ny_m = mesh.devices.shape
+    zn, yn = mesh.axis_names
+    spec = (zn if arr.shape[0] % nz_m == 0 else None,
+            yn if arr.ndim > 1 and arr.shape[1] % ny_m == 0 else None)
+    if spec != (zn, yn):
+        print(f"-mesh: volume {tuple(arr.shape)} not divisible by the "
+              f"({nz_m}, {ny_m}) device grid; sharding axes {spec}",
+              file=sys.stderr)
+    return jax.device_put(
+        jnp.asarray(arr),
+        NamedSharding(mesh, P(*(spec + (None,) * (arr.ndim - 2)))))
 
 
 def determine_voxel_width(s: Settings, img: mrc.MrcImage) -> np.ndarray:
@@ -278,8 +291,11 @@ def handle_watershed(s, x_np, mask_np):
         from visfd_tpu.parallel.mesh import make_mesh
         from visfd_tpu.parallel.sharded_features import (
             propagate_watershed_sharded)
+        # -mesh N bounds the device count like every other sharded
+        # handler; without -mesh, all devices are used
+        mesh_ws = _cli_mesh(s) or make_mesh()
         res = propagate_watershed_sharded(
-            x_np, make_mesh(), mask=mask_np, markers=markers,
+            x_np, mesh_ws, mask=mask_np, markers=markers,
             start_from_minima=not s.clusters_begin_at_maxima,
             halt_threshold=s.watershed_threshold,
             connectivity=s.neighbor_connectivity,
@@ -337,6 +353,7 @@ def handle_blob_detector(s, x, mask, mask_np, w, out_header_shape):
     diam_vox = list(s.blob_diameters)
     minima, maxima = B.blob_dog_nm(
         x, diam_vox, mask=mask,
+        mesh=_cli_mesh(s),
         aspect_ratio=s.blob_aspect_ratio,
         delta_sigma_over_sigma=s.delta_sigma_over_sigma,
         truncate_ratio=s.filter_truncate_ratio,

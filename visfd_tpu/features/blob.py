@@ -235,14 +235,22 @@ def blob_dog_d(
     x: jax.Array,
     diameters: Sequence[float],
     mask: Optional[jax.Array] = None,
+    mesh=None,
     **kw,
 ) -> Tuple[BlobList, BlobList]:
     """Diameter interface: sigma = d / (2*sqrt(3))
     (``feature.hpp:446-512``). Returned ``diameters`` columns are real
-    diameters."""
+    diameters.  ``mesh``: run the ladder mesh-sharded with halo
+    exchange (``parallel.sharded_features.sharded_blob_dog``) --
+    bit-identical lists, handles volumes the mesh does not divide."""
     conv = 2.0 * np.sqrt(3.0)
     sigmas = [d / conv for d in diameters]
-    minima, maxima = blob_dog(x, sigmas, mask=mask, **kw)
+    if mesh is not None:
+        from visfd_tpu.parallel.sharded_features import sharded_blob_dog
+        minima, maxima = sharded_blob_dog(x, sigmas, mesh, mask=mask,
+                                          **kw)
+    else:
+        minima, maxima = blob_dog(x, sigmas, mask=mask, **kw)
     minima.diameters = minima.diameters * conv
     maxima.diameters = maxima.diameters * conv
     return minima, maxima
@@ -432,6 +440,7 @@ def blob_dog_nm(
     nonmax_max_overlap_large: float = 1.0,
     nonmax_max_overlap_small: float = 1.0,
     report=None,
+    mesh=None,
 ) -> Tuple[BlobList, BlobList]:
     """Blob detection + NMS composition
     (``feature_variants.hpp:394-580``). ``truncate_threshold`` (if
@@ -447,7 +456,7 @@ def blob_dog_nm(
         minima_threshold=minima_threshold,
         maxima_threshold=maxima_threshold,
         use_threshold_ratios=use_threshold_ratios,
-        report=report)
+        report=report, mesh=mesh)
     do_nms = (sep_ratio_thresh > 0.0 or nonmax_max_overlap_small < 1.0
               or nonmax_max_overlap_large < 1.0)
     if not do_nms:

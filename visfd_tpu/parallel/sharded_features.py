@@ -470,6 +470,108 @@ def _build_sharded_descend(mesh: Mesh,
         out_specs=spec, check_vma=False))
 
 
+@functools.lru_cache(maxsize=None)
+def _build_sharded_minimax(mesh: Mesh,
+                           offsets: Tuple[Tuple[int, int, int], ...]):
+    """Sharded counterpart of ``segment.propagate._minimax_device``
+    (the marker/boundary flooding-level propagation): identical
+    per-iteration update math on halo-exchanged blocks, with the
+    convergence flag psum'd over the mesh -- states are bit-identical
+    to the single-device loop at every iteration.
+
+    Inputs (block-sharded): signed surface ``x``, int32 ``seed_lab``,
+    validity ``m`` (user mask AND in-bounds) and the in-bounds
+    indicator ``inb``.  Returns (flooding level r, labels)."""
+    zn, yn = mesh.axis_names
+    spec = P(zn, yn)
+    rr = max(max(abs(c) for c in off) for off in offsets)
+    BIG = jnp.int32(np.iinfo(np.int32).max)
+    INF = jnp.float32(np.inf)
+
+    def local(x, seed_lab, m, inb):
+        bz, by, nx = x.shape
+        valid = m != 0
+        xv = jnp.where(valid, x, INF)
+        is_seed = (seed_lab > 0) & valid
+
+        def pad_r(v):
+            v = halo_pad_2d(v, rr, rr, zn, yn)
+            return jnp.pad(v, ((0, 0), (0, 0), (rr, rr)))
+
+        def sl(p, off):
+            dz, dy, dx = off
+            return jax.lax.dynamic_slice(p, (rr + dz, rr + dy, rr + dx),
+                                         (bz, by, nx))
+
+        inh = pad_r(inb) > 0
+        xv_h = jnp.where(inh, pad_r(xv), INF)
+
+        r0 = jnp.where(is_seed, xv, INF)
+        l0 = jnp.where(is_seed, seed_lab, BIG)
+        dr0 = jnp.where(is_seed, -INF, INF)
+        dx0 = jnp.where(is_seed, -INF, INF)
+
+        def body(state):
+            r, lab, dr, dxk, _, it = state
+            r_hp = jnp.where(inh, pad_r(r), INF)
+            lab_hp = BIG - pad_r(BIG - lab)     # BIG beyond the volume
+            new_r, new_lab, new_dr, new_dx = r, lab, dr, dxk
+            for off in offsets:
+                r_u = sl(r_hp, off)
+                x_u = sl(xv_h, off)
+                lab_u = sl(lab_hp, off)
+                better = valid & ~is_seed & (lab_u != BIG) & (
+                    (r_u < new_dr) | ((r_u == new_dr) & (x_u < new_dx)))
+                relabel = valid & ~is_seed & (lab_u != BIG) & (
+                    (r_u == new_dr) & (x_u == new_dx)
+                    & (lab_u != new_lab))
+                new_dr = jnp.where(better, r_u, new_dr)
+                new_dx = jnp.where(better, x_u, new_dx)
+                new_lab = jnp.where(better | relabel, lab_u, new_lab)
+                new_r = jnp.where(better, jnp.maximum(r_u, xv), new_r)
+            ch = jnp.any((new_dr != dr) | (new_dx != dxk)
+                         | (new_lab != lab))
+            ch = jax.lax.psum(jax.lax.psum(ch.astype(jnp.int32), zn),
+                              yn) > 0
+            return new_r, new_lab, new_dr, new_dx, ch, it + 1
+
+        nz_g = bz * jax.lax.axis_size(zn)
+        ny_g = by * jax.lax.axis_size(yn)
+        max_it = 8 * int(nz_g + ny_g + nx) if isinstance(nz_g, int) \
+            else jnp.int32(8) * (nz_g + ny_g + nx)
+        r, lab, _, _, _, _ = jax.lax.while_loop(
+            lambda s: s[4] & (s[5] < max_it), body,
+            (r0, l0, dr0, dx0, jnp.asarray(True), jnp.int32(0)))
+        return r, jnp.where(lab == BIG, 0, lab)
+
+    return jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec, spec),
+        out_specs=(spec, spec), check_vma=False))
+
+
+def sharded_minimax(x_np, seeds_np, mask_np, offs, mesh: Mesh):
+    """Mesh-sharded ``_minimax_device`` over host arrays: pads to the
+    mesh grid, runs the halo-exchange flood, crops.  Returns (r, lab)
+    numpy arrays, bit-identical to the single-device propagation."""
+    x = np.asarray(x_np, np.float32)
+    nz, ny, nx = x.shape
+    xp, _ = _pad_zy(x, mesh)
+    seedp, _ = _pad_zy(np.asarray(seeds_np, np.int32), mesh)
+    inb = _inbounds_indicator(x.shape, mesh)
+    mp = inb
+    if mask_np is not None:
+        mpad, _ = _pad_zy(np.asarray(mask_np, np.float32), mesh)
+        mp = mpad * inb
+
+    sharding = NamedSharding(mesh, P(*mesh.axis_names))
+    args = [jax.device_put(jnp.asarray(a), sharding)
+            for a in (xp, seedp, mp, inb)]
+    fn = _build_sharded_minimax(mesh, offs)
+    r, lab = fn(*args)
+    return (np.asarray(r)[:nz, :ny, :nx],
+            np.asarray(lab)[:nz, :ny, :nx])
+
+
 def propagate_watershed_sharded(
     source,
     mesh: Mesh,
@@ -483,29 +585,54 @@ def propagate_watershed_sharded(
     label_undefined: int = -1,
 ):
     """Mesh-sharded ``segment.propagate.propagate_watershed``:
-    identical basins/labels; the descent/plateau/resolve stencil phases
-    run under shard_map with halo exchange, the final pointer collapse
-    is vectorized numpy on the gathered parent graph.
-
-    Markers and Meyer boundary labels reuse the single-device minimax
-    propagation + contested-set cascade on the gathered volume (the
-    per-voxel label/boundary semantics are identical; see
-    ``segment.propagate``)."""
+    identical basins/labels; the descent/plateau/resolve stencil
+    phases AND the marker/boundary minimax flood run under shard_map
+    with halo exchange; only the tiny label LUTs and the contested-set
+    boundary cascade (vectorized numpy over the contested voxels) run
+    on the host."""
     from visfd_tpu.segment import extrema as E
     from visfd_tpu.segment.propagate import (
-        postprocess_basins, propagate_watershed)
+        _marker_watershed, postprocess_basins)
+
+    offs_all = E.neighbor_offsets(connectivity)
+
+    def minimax_fn(x_j, seeds_j, m_j, offs_):
+        return sharded_minimax(np.asarray(x_j), np.asarray(seeds_j),
+                               None if m_j is None else np.asarray(m_j),
+                               offs_, mesh)
 
     if markers is not None:
-        # marker labels come from the minimax flood (not descent); run
-        # the single-device path on the gathered volume -- the descent
-        # phases it skips are the ones this function shards
-        return propagate_watershed(
-            source, mask=mask, markers=markers,
-            start_from_minima=start_from_minima,
-            halt_threshold=halt_threshold, connectivity=connectivity,
-            show_boundaries=show_boundaries,
-            label_boundary=label_boundary,
-            label_undefined=label_undefined)
+        # marker labels come from the minimax flood (not descent);
+        # round 4: the flood itself runs mesh-sharded, the host only
+        # builds seeds and remaps basin ids to user marker labels
+        import jax.numpy as _jnp
+        x_s = np.asarray(source, np.float32)
+        if not start_from_minima:
+            x_s = -x_s
+            halt_s = (-halt_threshold if np.isfinite(halt_threshold)
+                      else np.inf)
+        else:
+            halt_s = halt_threshold
+        m_j = None if mask is None else jnp.asarray(mask, jnp.float32)
+        res = _marker_watershed(
+            jnp.asarray(x_s), m_j, np.asarray(markers), offs_all,
+            start_from_minima, halt_s, label_undefined,
+            minimax_fn=minimax_fn)
+        if show_boundaries:
+            import dataclasses as _dc
+            from visfd_tpu.segment.propagate import meyer_boundaries
+            seeds = np.zeros(res.labels.shape, np.int32)
+            locs = np.asarray(res.basin_locations)
+            if len(locs):
+                seeds[locs[:, 2], locs[:, 1], locs[:, 0]] = np.arange(
+                    1, len(locs) + 1, dtype=np.int32)
+            r, _ = minimax_fn(x_s, seeds, mask, offs_all)
+            labels = meyer_boundaries(
+                res.labels, r, x_s, offs_all,
+                valid=None if mask is None else np.asarray(mask),
+                label_boundary=label_boundary)
+            res = _dc.replace(res, labels=labels)
+        return res
 
     x = np.asarray(source, np.float32)
     if not start_from_minima:
@@ -556,18 +683,15 @@ def propagate_watershed_sharded(
                              halt=halt, label_undefined=label_undefined)
     if show_boundaries:
         import dataclasses as _dc
-        from visfd_tpu.segment.propagate import (_minimax_device,
-                                                 meyer_boundaries)
+        from visfd_tpu.segment.propagate import meyer_boundaries
         seeds = np.zeros(res.labels.shape, np.int32)
         locs = np.asarray(res.basin_locations)
         if len(locs):
             seeds[locs[:, 2], locs[:, 1], locs[:, 0]] = np.arange(
                 1, len(locs) + 1, dtype=np.int32)
-        m = None if mask is None else jnp.asarray(mask, jnp.float32)
-        r, _ = _minimax_device(jnp.asarray(x), jnp.asarray(seeds), m,
-                               offs)
+        r, _ = minimax_fn(x, seeds, mask, offs)
         labels = meyer_boundaries(
-            res.labels, np.asarray(r), x, offs,
+            res.labels, r, x, offs,
             valid=None if mask is None else np.asarray(mask),
             label_boundary=label_boundary)
         res = _dc.replace(res, labels=labels)

@@ -242,14 +242,55 @@ def meyer_boundaries(labels, r, x_signed, offs, valid=None,
     cf = np.flatnonzero(contested.reshape(-1))
     # pop order: (r, x, flat index)
     order = cf[np.lexsort((cf, xf[cf], rf[cf]))]
-    boundary = np.zeros(labels.size, bool)
+    m = len(order)
     ntab = np.stack(neigh_tables, axis=0)  # (n_offs, n)
-    for v in order:
-        key_v = (rf[v], xf[v], v)
-        for u in ntab[:, v]:
-            if u < 0 or not af[u] or boundary[u] or lf[u] == lf[v]:
+
+    # v becomes boundary iff some neighbor u with (assigned, different
+    # label, popped strictly earlier) SURVIVED (was not itself marked
+    # boundary when popped).  Every such donor is itself contested
+    # (the offset set is symmetric, so u sees v right back), so the
+    # whole cascade lives on the contested subset and resolves in
+    # vectorized rounds over dependency ranks: a voxel is decided once
+    # each earlier differently-labeled neighbor is decided.  Chains
+    # longer than the round cap (exotic equal-key ramps) finish in the
+    # sequential tail below.
+    rank = np.full(labels.size, -1, np.int64)
+    rank[order] = np.arange(m)
+    deps = ntab[:, order]                       # (n_offs, m) flat idx
+    dep_ok = deps >= 0
+    du = np.where(dep_ok, deps, 0)
+    dep_ok &= af[du] & (lf[du] != lf[order][None, :])
+    dep_rank = np.where(dep_ok, rank[du], -1)
+    dep_ok &= dep_rank < np.arange(m)[None, :]  # strictly earlier pop
+    dep_rank = np.where(dep_ok, dep_rank, -1)
+    dr_safe = np.where(dep_rank >= 0, dep_rank, 0)
+
+    status = np.zeros(m, np.int8)  # 0 unknown / 1 boundary / 2 clear
+    for _ in range(min(m, 256)):
+        unknown = status == 0
+        if not unknown.any():
+            break
+        ds = status[dr_safe]
+        any_clear = ((dep_rank >= 0) & (ds == 2)).any(axis=0)
+        all_bound = ((dep_rank < 0) | (ds == 1)).all(axis=0)
+        newly_b = unknown & any_clear
+        newly_c = unknown & ~any_clear & all_bound
+        if not (newly_b.any() or newly_c.any()):
+            break
+        status[newly_b] = 1
+        status[newly_c] = 2
+
+    boundary = np.zeros(labels.size, bool)
+    boundary[order[status == 1]] = True
+    # sequential tail (rare): deps of every remaining unknown are
+    # either vector-resolved or earlier in this same ascending walk
+    for vi in np.flatnonzero(status == 0):
+        v = order[vi]
+        for o in range(ntab.shape[0]):
+            u = deps[o, vi]
+            if dep_rank[o, vi] < 0:
                 continue
-            if (rf[u], xf[u], u) < key_v:
+            if not boundary[u]:
                 boundary[v] = True
                 break
     out.reshape(-1)[boundary] = label_boundary
@@ -317,10 +358,13 @@ def propagate_watershed(
 
 
 def _marker_watershed(x_signed, mask, markers, offs, start_from_minima,
-                      halt, label_undefined) -> PropagateResult:
+                      halt, label_undefined,
+                      minimax_fn=None) -> PropagateResult:
     """Marker-seeded device watershed: one seed per positive marker
     label (first raster voxel, matching ``segment.watershed``), labels
-    by minimax flooding-level propagation."""
+    by minimax flooding-level propagation.  ``minimax_fn`` overrides
+    the single-device flood (the mesh-sharded path plugs in
+    ``parallel.sharded_features.sharded_minimax``, bit-identical)."""
     valid_np = (np.ones(markers.shape, bool) if mask is None
                 else np.asarray(mask) != 0)
     flat = markers.reshape(-1)
@@ -336,7 +380,11 @@ def _marker_watershed(x_signed, mask, markers, offs, start_from_minima,
     nz, ny, nx = markers.shape
     seeds.reshape(-1)[seed_flat] = np.arange(1, len(seed_flat) + 1,
                                              dtype=np.int32)
-    _, lab = _minimax_device(x_signed, jnp.asarray(seeds), mask, offs)
+    if minimax_fn is None:
+        _, lab = _minimax_device(x_signed, jnp.asarray(seeds), mask,
+                                 offs)
+    else:
+        _, lab = minimax_fn(x_signed, seeds, mask, offs)
     lab = np.asarray(lab).astype(np.int64)
     x_np = np.asarray(x_signed)
     labels = np.where(valid_np & (lab > 0), lab, label_undefined)
