@@ -233,6 +233,30 @@ def test_membrane_pipeline_fused_parity(workdir, monkeypatch):
     assert agree > 0.999, f"label agreement {agree}"
 
 
+def test_membrane_pipeline_fused_mesh_parity(workdir, monkeypatch):
+    """Fused per-shard kernels under -mesh 8 (hessian_principal_sharded
+    + channel-major sharded TV + sym3_score_sharded, interpret mode on
+    the forced CPU mesh) reproduce the XLA flagship output."""
+    args = ("-w 19.2 -in test_image_membrane.rec -out {out}"
+            " -membrane minima 55 -tv 4 -tv-angle-exponent 4 -bin 2"
+            " -mesh 8 -connect 1e+09 -connect-angle 30")
+    monkeypatch.setenv("VISFD_FUSED_EIGEN", "0")
+    log_ref = run_fm(args.format(out="mm_ref.rec"), capture=True)
+    monkeypatch.setenv("VISFD_FUSED_EIGEN", "1")
+    log_fus = run_fm(args.format(out="mm_fused.rec"), capture=True)
+    assert "falling back" not in log_fus
+
+    def n_clusters(log):
+        return int([ln for ln in log.splitlines()
+                    if "Number of clusters found:" in ln][0].split()[-1])
+
+    assert n_clusters(log_fus) == n_clusters(log_ref)
+    a = mrc.read_mrc("mm_ref.rec").data
+    b = mrc.read_mrc("mm_fused.rec").data
+    agree = np.mean(a == b)
+    assert agree > 0.999, f"label agreement {agree}"
+
+
 def test_edge_cli_brute_oracle(tmp_path, monkeypatch):
     """Brute-force oracle for the -edge (gradient magnitude) CLI path,
     which the reference binary refuses to run (settings.cpp:2754-2770;

@@ -230,3 +230,65 @@ def test_init_distributed_one_process_cluster():
                        text=True, timeout=120,
                        cwd="/root/repo")
     assert "distributed-ok" in r.stdout, r.stderr[-2000:]
+
+
+def test_sharded_fused_eigen_matches_single(mesh8, rng):
+    """Per-shard fused Hessian+eigen kernel (halo exchange + local
+    block + global-face clamp) vs the single-device fused kernel.
+    Tolerance-based: interpret mode on CPU places voxels in different
+    SIMD lanes per block shape and the vectorized transcendentals
+    differ by ~1 ulp by lane (on real TPU the vector intrinsics are
+    lane-uniform)."""
+    from visfd_tpu.ops.eigen_pallas import hessian_principal_pallas
+    x = rng.normal(size=(16, 24, 33)).astype(np.float32)
+    ref_s, ref_v = hessian_principal_pallas(
+        jnp.asarray(x), 2.0, want_v=True, interpret=True)
+    xs = jax.device_put(jnp.asarray(x), grid_sharding(mesh8))
+    got_s, got_v = SH.hessian_principal_sharded(
+        xs, mesh8, 2.0, want_v=True, interpret=True)
+    a, b = np.asarray(got_s), np.asarray(ref_s)
+    np.testing.assert_allclose(a, b, rtol=2e-5,
+                               atol=np.abs(b).max() * 1e-6)
+    # direction: sign-invariant agreement where the score is healthy
+    va = np.moveaxis(np.asarray(got_v), 0, -1)
+    vb = np.moveaxis(np.asarray(ref_v), 0, -1)
+    well = b > np.abs(b).max() * 1e-3
+    dot = np.abs((va * vb).sum(-1))
+    assert dot[well].min() > 1 - 1e-4
+
+
+def test_sharded_tv_channel_major_matches(mesh8, rng):
+    """Channel-major direction in + channel-major vote out through the
+    sharded TV wrapper == the channel-last path, bitwise."""
+    n, sigma = 24, 1.5
+    sal, v = _tv_fields(rng, n)
+    xs = jax.device_put(jnp.asarray(sal), grid_sharding(mesh8))
+    vs = jax.device_put(
+        jnp.asarray(v),
+        jax.sharding.NamedSharding(mesh8, P(*mesh8.axis_names, None)))
+    want, _ = SH.tv_accumulate_sharded_pallas(
+        xs, vs, None, sigma, 4, False, float(np.sqrt(2.0)), False,
+        mesh8, interpret=True)
+    v_cm = jax.device_put(
+        jnp.moveaxis(jnp.asarray(v), -1, 0),
+        jax.sharding.NamedSharding(mesh8, P(None, *mesh8.axis_names)))
+    got_cm, _ = SH.tv_accumulate_sharded_pallas(
+        xs, v_cm, None, sigma, 4, False, float(np.sqrt(2.0)), False,
+        mesh8, interpret=True, channel_major=True)
+    np.testing.assert_array_equal(
+        np.moveaxis(np.asarray(got_cm), 0, -1), np.asarray(want))
+
+
+def test_sharded_sym3_score_matches_single(mesh8, rng):
+    from visfd_tpu.ops.eigen_pallas import sym3_score_pallas
+    t6 = rng.normal(size=(6, 16, 16, 16)).astype(np.float32)
+    ref, _ = sym3_score_pallas(jnp.asarray(t6), decreasing=True,
+                               formula="stick", interpret=True)
+    t6s = jax.device_put(
+        jnp.asarray(t6),
+        jax.sharding.NamedSharding(mesh8, P(None, *mesh8.axis_names)))
+    got, _ = SH.sym3_score_sharded(t6s, mesh8, decreasing=True,
+                                   formula="stick", interpret=True)
+    b = np.asarray(ref)
+    np.testing.assert_allclose(np.asarray(got), b, rtol=2e-5,
+                               atol=np.abs(b).max() * 1e-6)

@@ -421,14 +421,18 @@ def main():
                 fl = tv_flops(hw_)
 
                 def tv_pal_l(s, nv, tv_sigma_l=tv_sigma_l):
+                    # nv rides as an ARGUMENT: closing over the
+                    # device array embeds it as a jaxpr constant and
+                    # the 650 MB compile request trips the tunnel's
+                    # 413 size cap
                     vote, _ = tv_dense_stick_pallas(
                         s, nv, tv_sigma_l, exponent=4,
                         truncate_ratio=float(np.sqrt(2.0)))
                     return vote
 
                 try:
-                    dt = _bench(lambda s, _f=tv_pal_l: _f(s, nvec_l),
-                                (sal_l,), max(3, cfg.iters // 6),
+                    dt = _bench(tv_pal_l, (sal_l, nvec_l),
+                                max(3, cfg.iters // 6),
                                 lambda c, o: c + jnp.mean(o) * 1e-30)
                     record(f"tv_pallas_hw{hw_}_{n_l}", dt,
                            bytes_per_vox=(4 * (2 * hw_ + 1) + 6) * 4,

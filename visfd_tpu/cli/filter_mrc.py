@@ -63,17 +63,16 @@ def _cli_mesh(s: Settings):
 
 def _fused_eigen_enabled(s: Settings) -> bool:
     """Whether ``handle_tv`` should run the fused Pallas
-    Hessian->eigen->TV->eigen pipeline (``ops/eigen_pallas.py``):
-    single-device TPU only (the -mesh path runs the per-shard kernels
-    under shard_map instead).  VISFD_FUSED_EIGEN=1/0 forces it (tests
-    use =1 on CPU, which runs the kernels in interpret mode)."""
+    Hessian->eigen->TV->eigen pipeline (``ops/eigen_pallas.py``) --
+    on TPU by default; with ``-mesh`` the per-shard variants run
+    under shard_map.  VISFD_FUSED_EIGEN=1/0 forces it (tests use =1
+    on CPU, which runs the kernels in interpret mode)."""
     import os
     env = os.environ.get("VISFD_FUSED_EIGEN")
     if env is not None:
         return env == "1"
     import jax
-    return (jax.devices()[0].platform == "tpu"
-            and _cli_mesh(s) is None)
+    return jax.devices()[0].platform == "tpu"
 
 
 def _maybe_shard(s: Settings, arr):
@@ -680,6 +679,12 @@ def handle_tv(s, img, x_np, mask_np, w):
     fused = (s.filter_type in (S.SURFACE_RIDGE, S.CURVE)
              and _fused_eigen_enabled(s)
              and min(x.shape) >= 3)
+    grid_mesh_f = None       # (z, y) mesh for the per-shard kernels
+    if fused and _cli_mesh(s) is not None:
+        from visfd_tpu.features.tv import _grid_mesh_of
+        grid_mesh_f = _grid_mesh_of(x)
+        if grid_mesh_f is None:
+            fused = False    # unevenly sharded volume: XLA/GSPMD path
     dir_cm = None            # channel-major (3, Z, Y, X) direction
     with stage("gaussian blur + hessian + eigendecomposition", rep):
         if fused:
@@ -688,17 +693,24 @@ def handle_tv(s, img, x_np, mask_np, w):
             # 6-channel Hessian and both eigen stages never touching
             # HBM (6.4x over the XLA stages on v5e, PERF.md)
             try:
-                from visfd_tpu.ops.eigen_pallas import (
-                    hessian_principal_pallas)
                 hwb = max(1, int(np.floor(sigma * tr)))
                 blur = F.apply_gauss(x, sigma, mask=mask,
                                      truncate_halfwidth=(hwb,) * 3)
-                score, dir_cm = hessian_principal_pallas(
-                    blur, sigma,
+                kw_f = dict(
                     decreasing=(order == sym3.EigenOrder.DECREASING),
                     formula=("linear" if s.filter_type == S.CURVE
                              else "planar"),
                     want_v=True, interpret=interp)
+                if grid_mesh_f is not None:
+                    from visfd_tpu.parallel.sharded import (
+                        hessian_principal_sharded)
+                    score, dir_cm = hessian_principal_sharded(
+                        blur, grid_mesh_f, sigma, **kw_f)
+                else:
+                    from visfd_tpu.ops.eigen_pallas import (
+                        hessian_principal_pallas)
+                    score, dir_cm = hessian_principal_pallas(
+                        blur, sigma, **kw_f)
             except Exception as exc:
                 print("handle_tv: fused eigen path failed "
                       f"({type(exc).__name__}); falling back to XLA",
@@ -773,15 +785,28 @@ def handle_tv(s, img, x_np, mask_np, w):
             with stage("dense stick tensor voting", rep):
                 if fused:
                     try:
-                        from visfd_tpu.ops.tv_pallas import (
-                            tv_dense_stick_pallas)
-                        vote_cm, _ = tv_dense_stick_pallas(
-                            score, direction, s.tv_sigma,
-                            exponent=s.tv_exponent, mask_src=mask,
-                            detect_curves=(s.filter_type == S.CURVE),
-                            truncate_ratio=s.tv_truncate_ratio,
-                            want_denominator=False, interpret=interp,
-                            sparse=tv_sparse, channel_major=True)
+                        if grid_mesh_f is not None:
+                            from visfd_tpu.parallel.sharded import (
+                                tv_accumulate_sharded_pallas)
+                            vote_cm, _ = tv_accumulate_sharded_pallas(
+                                score, direction, mask,
+                                float(s.tv_sigma), int(s.tv_exponent),
+                                s.filter_type == S.CURVE,
+                                float(s.tv_truncate_ratio), False,
+                                grid_mesh_f, interpret=interp,
+                                sparse=tv_sparse, channel_major=True)
+                        else:
+                            from visfd_tpu.ops.tv_pallas import (
+                                tv_dense_stick_pallas)
+                            vote_cm, _ = tv_dense_stick_pallas(
+                                score, direction, s.tv_sigma,
+                                exponent=s.tv_exponent, mask_src=mask,
+                                detect_curves=(
+                                    s.filter_type == S.CURVE),
+                                truncate_ratio=s.tv_truncate_ratio,
+                                want_denominator=False,
+                                interpret=interp,
+                                sparse=tv_sparse, channel_major=True)
                         if mask is not None:
                             vote_cm = jnp.where((mask != 0)[None],
                                                 vote_cm, 0.0)
@@ -814,14 +839,20 @@ def handle_tv(s, img, x_np, mask_np, w):
             # fused eigen score of the channel-major vote tensor; the
             # same pass also yields the principal eigenvector -connect
             # consumes, so the vote field is read once, not three times
-            from visfd_tpu.ops.eigen_pallas import sym3_score_pallas
-            new_score, vev_cm = sym3_score_pallas(
-                vote_cm,
+            kw_c = dict(
                 decreasing=(order == sym3.EigenOrder.DECREASING),
                 formula=("linear" if s.filter_type == S.CURVE
                          else "stick"),
                 want_v=bool(s.cluster_connected_voxels),
                 interpret=interp)
+            if grid_mesh_f is not None:
+                from visfd_tpu.parallel.sharded import (
+                    sym3_score_sharded)
+                new_score, vev_cm = sym3_score_sharded(
+                    vote_cm, grid_mesh_f, **kw_c)
+            else:
+                from visfd_tpu.ops.eigen_pallas import sym3_score_pallas
+                new_score, vev_cm = sym3_score_pallas(vote_cm, **kw_c)
         else:
             diag = sym3.diagonalize_flat_sym3(vote, order=order)
             if s.filter_type == S.CURVE:

@@ -206,22 +206,31 @@ def _score_channels(vals, formula: str):
 # ---------------------------------------------------------------------------
 
 def _hess_eig_kernel(nz, ny, nx, by, nxa, s2, decreasing, formula,
-                     want_v, in_hbm, out_ref, slab, sem):
+                     want_v, clamp, in_hbm, out_ref, slab, sem):
     i = pl.program_id(0)            # receiver z plane
     j = pl.program_id(1)            # y block
-    by2 = by + 2
+    by2 = (by + 2) if clamp else by
     slab_ny = slab.shape[1]
-    # FD stencils are evaluated at the nearest interior voxel and
-    # replicated onto the faces (visfd_utils.hpp:592-610): the z face
-    # planes reuse the z=1 / z=nz-2 stencil via a clamped slab start
-    zc = jnp.clip(i, 1, nz - 2)
+    if clamp:
+        # FD stencils are evaluated at the nearest interior voxel and
+        # replicated onto the faces (visfd_utils.hpp:592-610): the z
+        # face planes reuse the z=1 / z=nz-2 stencil via a clamped
+        # slab start
+        z_start = jnp.clip(i, 1, nz - 2) - 1
+    else:
+        # prepadded mode (mesh shards): the caller filled 1-deep halos
+        # (real neighbor data via ICI exchange) and re-fixes the
+        # global faces itself, so no clamping happens here
+        z_start = i
     cp = pltpu.make_async_copy(
-        in_hbm.at[pl.ds(zc - 1, 3), pl.ds(j * by, slab_ny)], slab, sem)
+        in_hbm.at[pl.ds(z_start, 3), pl.ds(j * by, slab_ny)], slab, sem)
     cp.start()
     cp.wait()
 
     def S(z, dy, dx):
-        # stencil-row t (global y = j*by - 1 + t) reads slab row t+1+dy
+        # stencil-row t reads slab row t+1+dy (clamped mode covers
+        # rows j*by-1 .. j*by+by for the y edge-select; prepadded mode
+        # covers exactly the block's rows)
         return slab[z, 1 + dy:1 + dy + by2, 1 + dx:1 + dx + nxa]
 
     ctr = S(1, 0, 0)
@@ -240,6 +249,11 @@ def _hess_eig_kernel(nz, ny, nx, by, nxa, s2, decreasing, formula,
     chans = _score_channels(vals, formula)
     if want_v:
         chans = chans + list(v)
+
+    if not clamp:
+        for ch, f in enumerate(chans):
+            out_ref[ch, 0] = f
+        return
 
     # x/y edge clamping of the OUTPUT (the whole stencil+solve result
     # is replicated from the nearest interior voxel, matching
@@ -270,22 +284,33 @@ def _pick_by(ny: int, nxa: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("s2", "decreasing", "formula", "want_v", "interpret"))
+    static_argnames=("s2", "decreasing", "formula", "want_v", "clamp",
+                     "interpret"))
 def _hessian_principal_impl(blur, s2, decreasing, formula, want_v,
-                            interpret):
-    nz, ny, nx = blur.shape
+                            interpret, clamp=True):
+    if clamp:
+        nz, ny, nx = blur.shape
+    else:
+        nz, ny, nx = (d - 2 for d in blur.shape)
     nxa = _round_up(nx, 128)
     nxp = _round_up(nxa + 2, 128)
     by = _pick_by(ny, nxa)
     n_yblk = -(-ny // by)
-    slab_ny = _round_up(by + 4, 8)
+    slab_ny = _round_up(by + (4 if clamp else 2), 8)
     ny_field = (n_yblk - 1) * by + slab_ny
-    # y pre-pad 2 (stencil halo 1 + clamp-select halo 1), x pre-pad 1
-    xp = jnp.pad(jnp.asarray(blur, jnp.float32),
-                 [(0, 0), (2, ny_field - ny - 2), (1, nxp - nx - 1)])
+    if clamp:
+        # y pre-pad 2 (stencil halo 1 + clamp-select halo 1), x pad 1
+        xp = jnp.pad(jnp.asarray(blur, jnp.float32),
+                     [(0, 0), (2, ny_field - ny - 2),
+                      (1, nxp - nx - 1)])
+    else:
+        # caller already halo-padded by 1 on every face
+        xp = jnp.pad(jnp.asarray(blur, jnp.float32),
+                     [(0, 0), (0, ny_field - ny - 2),
+                      (0, nxp - nx - 2)])
     n_out = _n_score_channels(formula) + (3 if want_v else 0)
     kern = functools.partial(_hess_eig_kernel, nz, ny, nx, by, nxa,
-                             s2, decreasing, formula, want_v)
+                             s2, decreasing, formula, want_v, clamp)
     out = pl.pallas_call(
         kern,
         grid=(nz, n_yblk),
@@ -302,6 +327,39 @@ def _hessian_principal_impl(blur, s2, decreasing, formula, want_v,
         interpret=interpret,
     )(xp)
     return out[:, :, :ny, :nx]
+
+
+def hessian_principal_pallas_prepadded(
+    blur_pad: jax.Array,            # (Z+2, Y+2, X+2), halos filled
+    sigma: float,
+    decreasing: bool = True,
+    formula: str = "planar",
+    want_v: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-shard entry for mesh pipelines: the caller halo-exchanged
+    1-deep neighbor planes into ``blur_pad`` and is responsible for
+    re-clamping the GLOBAL volume faces afterwards (``clamp_faces``
+    on the assembled result).  Returns the raw channel-stacked
+    (n_out, Z, Y, X) block."""
+    return _hessian_principal_impl(
+        blur_pad, float(sigma) * float(sigma), bool(decreasing),
+        str(formula), bool(want_v), bool(interpret), clamp=False)
+
+
+def clamp_faces(arr: jax.Array) -> jax.Array:
+    """Replicate the nearest-interior value onto the global faces of
+    the trailing (Z, Y, X) axes -- the XLA-side equivalent of the
+    in-kernel edge clamp (x first, then y, then z, so corners compose
+    to the fully-clamped stencil: identical floats to the
+    single-device kernel)."""
+    arr = arr.at[..., 0].set(arr[..., 1])
+    arr = arr.at[..., -1].set(arr[..., -2])
+    arr = arr.at[..., 0, :].set(arr[..., 1, :])
+    arr = arr.at[..., -1, :].set(arr[..., -2, :])
+    arr = arr.at[..., 0, :, :].set(arr[..., 1, :, :])
+    arr = arr.at[..., -1, :, :].set(arr[..., -2, :, :])
+    return arr
 
 
 def hessian_principal_pallas(

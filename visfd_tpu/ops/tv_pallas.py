@@ -352,7 +352,7 @@ def _tv_pallas_padded_core(fields, out_shape, hw, ker, exponent,
 
 def tv_dense_stick_pallas_prepadded(
     sal_pad: jax.Array,           # (Z+2hw, Y+2hw, X+2hw) float32
-    nvec_pad: jax.Array,          # (Z+2hw, Y+2hw, X+2hw, 3)
+    nvec_pad: jax.Array,          # (Z+2hw, Y+2hw, X+2hw, 3) or (3, ...)
     sigma: float,
     out_shape: Tuple[int, int, int],
     exponent: int = 4,
@@ -362,12 +362,14 @@ def tv_dense_stick_pallas_prepadded(
     want_denominator: bool = False,
     interpret: bool = False,
     sparse: bool = False,
+    channel_major: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Pallas voting over fields whose hw-deep halos were filled by
     the CALLER (mesh halo exchange; zeros outside the global volume).
     This is the per-shard entry the sharded pipelines call inside
     shard_map.  ``mask_pad``, when given, must carry the halo-padded
-    source mask (it gates votes and feeds the denominator)."""
+    source mask (it gates votes and feeds the denominator).
+    ``channel_major`` returns the raw (6, Z, Y, X) accumulator."""
     hw = int(np.floor(sigma * truncate_ratio))
     ker = K.gen_gauss_kernel_3d((sigma,) * 3, 2.0, (hw,) * 3)
     sal_pad = jnp.asarray(sal_pad, jnp.float32)
@@ -379,12 +381,16 @@ def tv_dense_stick_pallas_prepadded(
         sal_eff = sal_pad
         md = jnp.ones_like(sal_pad)
     n_fields = 5 if want_denominator else 4
-    fields = [sal_eff, nvec_pad[..., 0], nvec_pad[..., 1],
-              nvec_pad[..., 2], md][:n_fields]
+    if nvec_pad.ndim == 4 and nvec_pad.shape[0] == 3 \
+            and nvec_pad.shape[1:] == sal_pad.shape:
+        nv = (nvec_pad[0], nvec_pad[1], nvec_pad[2])  # channel-major
+    else:
+        nv = (nvec_pad[..., 0], nvec_pad[..., 1], nvec_pad[..., 2])
+    fields = [sal_eff, nv[0], nv[1], nv[2], md][:n_fields]
     return _tv_pallas_padded_core(
         fields, tuple(out_shape), hw, ker, int(exponent),
         bool(detect_curves), bool(want_denominator), interpret,
-        sparse=bool(sparse))
+        sparse=bool(sparse), channel_major=bool(channel_major))
 
 
 def tv_dense_stick_pallas(

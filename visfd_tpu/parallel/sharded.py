@@ -150,7 +150,7 @@ def _sharded_tv(sal, nvec, tv_hw, w_t, rhat_t, off_t, exponent,
 
 def tv_accumulate_sharded_pallas(
     saliency: jax.Array,          # GSPMD-sharded (Z, Y, X) over mesh
-    nvec: jax.Array,              # (Z, Y, X, 3)
+    nvec: jax.Array,              # (Z, Y, X, 3) or channel-major (3, ...)
     mask_src: Optional[jax.Array],
     sigma: float,
     exponent: int,
@@ -160,6 +160,7 @@ def tv_accumulate_sharded_pallas(
     mesh: Mesh,
     interpret: bool = False,
     sparse: bool = False,
+    channel_major: bool = False,
 ):
     """Raw (unnormalized) vote accumulation of a mesh-sharded volume
     through the per-shard Pallas kernel: halo-exchange saliency /
@@ -172,11 +173,17 @@ def tv_accumulate_sharded_pallas(
     hw = int(np.floor(sigma * truncate_ratio))
     has_mask = mask_src is not None
     xpad3 = ((0, 0), (0, 0), (hw, hw))
+    nv_cm = (nvec.ndim == 4 and nvec.shape[0] == 3
+             and nvec.shape[1:] == saliency.shape)
 
     def local(sal, nv, m):
         sal_pad = jnp.pad(halo_pad_2d(sal, hw, hw, z_name, y_name), xpad3)
-        n_pad = jnp.pad(halo_pad_2d(nv, hw, hw, z_name, y_name),
-                        xpad3 + ((0, 0),))
+        if nv_cm:
+            n_pad = halo_pad(halo_pad(nv, hw, 1, z_name), hw, 2, y_name)
+            n_pad = jnp.pad(n_pad, ((0, 0),) + xpad3)
+        else:
+            n_pad = jnp.pad(halo_pad_2d(nv, hw, hw, z_name, y_name),
+                            xpad3 + ((0, 0),))
         m_pad = (jnp.pad(halo_pad_2d(m, hw, hw, z_name, y_name), xpad3)
                  if has_mask else None)
         from visfd_tpu.ops.tv_pallas import tv_dense_stick_pallas_prepadded
@@ -185,21 +192,91 @@ def tv_accumulate_sharded_pallas(
             mask_pad=m_pad, detect_curves=detect_curves,
             truncate_ratio=truncate_ratio,
             want_denominator=want_denominator, interpret=interpret,
-            sparse=sparse)
+            sparse=sparse, channel_major=channel_major)
         if den is None:
             den = jnp.zeros_like(sal)
         return dest, den
 
     spec = P(z_name, y_name)
+    nv_spec = (P(None, z_name, y_name) if nv_cm
+               else P(z_name, y_name, None))
+    dest_spec = (P(None, z_name, y_name) if channel_major
+                 else P(z_name, y_name, None, None))
     dest, den = shard_map(
         local, mesh=mesh,
-        in_specs=(spec, P(z_name, y_name, None), spec),
-        out_specs=(P(z_name, y_name, None, None), spec),
+        in_specs=(spec, nv_spec, spec),
+        out_specs=(dest_spec, spec),
         check_vma=False,
     )(saliency, nvec,
       # the dummy (mask-less) operand just needs the grid sharding
       mask_src if has_mask else saliency)
     return dest, (den if want_denominator else None)
+
+
+def hessian_principal_sharded(
+    blur: jax.Array,              # GSPMD-sharded (Z, Y, X) over mesh
+    mesh: Mesh,
+    sigma: float,
+    decreasing: bool = True,
+    formula: str = "planar",
+    want_v: bool = True,
+    interpret: bool = False,
+):
+    """Per-shard fused FD-Hessian + principal eigensolve + score
+    (``ops.eigen_pallas``) over a mesh-sharded blurred volume:
+    1-deep halo exchange over ICI, the fused kernel on each local
+    block, then the global-face clamp applied on the assembled result
+    -- bit-identical to the single-device fused kernel (asserted in
+    tests/test_parallel.py).  Returns (score, v_channel_major|None)
+    with (z, y) grid sharding."""
+    from visfd_tpu.ops.eigen_pallas import (
+        _n_score_channels, clamp_faces,
+        hessian_principal_pallas_prepadded)
+    z_name, y_name = mesh.axis_names
+
+    def local(b):
+        bp = jnp.pad(halo_pad_2d(b, 1, 1, z_name, y_name),
+                     ((0, 0), (0, 0), (1, 1)))
+        return hessian_principal_pallas_prepadded(
+            bp, sigma, decreasing=decreasing, formula=formula,
+            want_v=want_v, interpret=interpret)
+
+    spec = P(z_name, y_name)
+    out = shard_map(local, mesh=mesh, in_specs=spec,
+                    out_specs=P(None, z_name, y_name),
+                    check_vma=False)(blur)
+    out = clamp_faces(out)
+    n_s = _n_score_channels(formula)
+    score = out[0] if n_s == 1 else out[:n_s]
+    v = out[n_s:n_s + 3] if want_v else None
+    return score, v
+
+
+def sym3_score_sharded(
+    t6: jax.Array,                # (6, Z, Y, X) channel-major, sharded
+    mesh: Mesh,
+    decreasing: bool = True,
+    formula: str = "stick",
+    want_v: bool = False,
+    interpret: bool = False,
+):
+    """Per-shard fused eigen score of a mesh-sharded channel-major
+    tensor field (no halos needed -- purely voxelwise)."""
+    from visfd_tpu.ops.eigen_pallas import (_n_score_channels,
+                                            _sym3_score_impl)
+    z_name, y_name = mesh.axis_names
+
+    def local(t):
+        return _sym3_score_impl(t, decreasing, formula, want_v,
+                                interpret)
+
+    out = shard_map(local, mesh=mesh, in_specs=P(None, z_name, y_name),
+                    out_specs=P(None, z_name, y_name),
+                    check_vma=False)(t6)
+    n_s = _n_score_channels(formula)
+    score = out[0] if n_s == 1 else out[:n_s]
+    v = out[n_s:n_s + 3] if want_v else None
+    return score, v
 
 
 def make_membrane_step(
