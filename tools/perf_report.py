@@ -491,11 +491,12 @@ def main():
                 except Exception:
                     pass
                 peak = stats.get("peak_bytes_in_use", 0)
-                bpv = peak / n_c ** 3 if peak else 0
+                mem_note = (f"; peak HBM {peak/1e9:.1f} GB = "
+                            f"{peak / n_c ** 3:.0f} B/voxel" if peak
+                            else "")  # axon exposes no memory_stats
                 record(f"flagship_fused_{n_c}", dt, vox=n_c ** 3,
-                       note=f"full fused chain at {n_c}^3 (hw=3 TV); "
-                            f"peak HBM {peak/1e9:.1f} GB"
-                            + (f" = {bpv:.0f} B/voxel" if peak else ""))
+                       note=f"full fused chain at {n_c}^3 (hw=3 TV)"
+                            + mem_note)
                 del x_c
             except Exception as e:
                 msg = str(e).splitlines()[0][:120]

@@ -338,6 +338,15 @@ def _tv_pallas_padded_core(fields, out_shape, hw, ker, exponent,
             want_denominator, sparse, by, n_yblk, slab_ny, nxa,
             nz, tz_lo, tz_hi, interpret)
         out = part if out is None else out + part
+        if c + 1 < n_chunks:
+            # chunk partials are data-independent, so XLA happily
+            # schedules ALL the pallas_calls before the adds and keeps
+            # every partial vote tensor live at once -- at hw=5/384^3
+            # that overflowed HBM by itself.  Tying the next chunk's
+            # inputs to the accumulated sum forces one-partial-at-a-
+            # time scheduling (the calls are serial on-core anyway).
+            out, *fields = jax.lax.optimization_barrier(
+                (out, *fields))
 
     out = out[:, :, :ny, :nx]
     if channel_major:
