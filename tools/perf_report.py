@@ -614,6 +614,18 @@ def main():
         "  padded slab width with a window-dependent per-tap factor,",
         "  and z-offset chunking keeps each pallas_call body inside",
         "  the Mosaic unroll budget -- see ops/tv_pallas.py).",
+        "- **The single-plane blur kernel beat a z-blocked variant**",
+        "  (round-4 bake-off on v5e at 384^3: 8.9 vs 6.7 Gvox/s).",
+        "  Blocking 8 output planes per grid step was built on the",
+        "  theory that per-step overhead dominates; measurement says",
+        "  the kernel is VMEM-BANDWIDTH-bound instead: 33 shift-taps",
+        "  re-read each voxel from VMEM, ~150 B/voxel = ~1.3 TB/s of",
+        "  on-chip traffic at 8.9 Gvox/s, and the z-block only added",
+        "  ring-combination traffic ((wz+bz-1)/wz = 1.6x).  The 9%",
+        "  HBM-SoL figure is therefore the wrong roofline for this",
+        "  op -- against the VMEM-traffic bound the kernel runs at",
+        "  ~2/3 of attainable.  A banded-matmul (MXU) formulation",
+        "  prices out 29x more MACs at 4% band density: rejected.",
         "- **The MXU moment-expansion formulation (tv_moments) was",
         "  deleted** after losing the round-2 bake-off on real v5e:",
         "  7.1 Mvox/s (hw2) / 2.7 Mvox/s (hw3) vs 485 / ~340 Mvox/s",
