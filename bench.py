@@ -65,7 +65,8 @@ def build_step(tv_mode: str, tv_sigma: float = 2.0):
                 want_v=True)
             vote, _ = tv_dense_stick_pallas(
                 saliency, direction, float(tv_sigma), exponent=4,
-                truncate_ratio=float(np.sqrt(2.0)), channel_major=True)
+                truncate_ratio=float(np.sqrt(2.0)), channel_major=True,
+                nvec_channel_major=True)
             stick, _ = sym3_score_pallas(vote, decreasing=True,
                                          formula="stick")
             return stick

@@ -84,7 +84,8 @@ def main():
                          "volumes exceed the axon tunnel request cap")
     ap.add_argument("--stages", default="all",
                     help="comma list: gauss,hessian,eig,tv,tvlarge,"
-                         "blob,pipeline")
+                         "capacity,blob,pipeline (capacity probes "
+                         "until HBM overflow)")
     ap.add_argument("--tv-large", type=int, default=384,
                     help="production-scale TV validation volume edge "
                          "(saliency/direction generated ON DEVICE so "
@@ -477,7 +478,8 @@ def main():
                                 formula="planar", want_v=True)
                 vote, _ = _tvp(sal, dvec, tv_sigma_c, exponent=4,
                                truncate_ratio=float(np.sqrt(2.0)),
-                               channel_major=True)
+                               channel_major=True,
+                               nvec_channel_major=True)
                 s, _ = _sp(vote, decreasing=True, formula="stick")
                 return s
 
@@ -568,6 +570,9 @@ def main():
         "fetch (block_until_ready is a no-op on the axon backend).",
         "GB/s and %SoL assume MINIMUM possible traffic (perfect tap",
         "fusion), so they are lower bounds on achieved bandwidth.",
+        "128^3 rows are dispatch-bound through the remote tunnel and",
+        "vary +-30% run to run -- the *_384 rows and bench.py's",
+        "on-device fori_loop numbers are the authoritative ones.",
         "",
         "| stage | Mvox/s | GB/s | % HBM SoL | TFLOP/s | % VPU | note |",
         "|---|---|---|---|---|---|---|",

@@ -711,6 +711,10 @@ def handle_tv(s, img, x_np, mask_np, w):
                         hessian_principal_pallas)
                     score, dir_cm = hessian_principal_pallas(
                         blur, sigma, **kw_f)
+                # dispatch is async: surface device-side kernel
+                # failures HERE so the XLA fallback below engages
+                # (a scalar fetch is the only sync on this backend)
+                float(score[0, 0, 0])
             except Exception as exc:
                 print("handle_tv: fused eigen path failed "
                       f"({type(exc).__name__}); falling back to XLA",
@@ -794,7 +798,8 @@ def handle_tv(s, img, x_np, mask_np, w):
                                 s.filter_type == S.CURVE,
                                 float(s.tv_truncate_ratio), False,
                                 grid_mesh_f, interpret=interp,
-                                sparse=tv_sparse, channel_major=True)
+                                sparse=tv_sparse, channel_major=True,
+                                nvec_channel_major=True)
                         else:
                             from visfd_tpu.ops.tv_pallas import (
                                 tv_dense_stick_pallas)
@@ -806,10 +811,15 @@ def handle_tv(s, img, x_np, mask_np, w):
                                 truncate_ratio=s.tv_truncate_ratio,
                                 want_denominator=False,
                                 interpret=interp,
-                                sparse=tv_sparse, channel_major=True)
+                                sparse=tv_sparse, channel_major=True,
+                                nvec_channel_major=True)
                         if mask is not None:
                             vote_cm = jnp.where((mask != 0)[None],
                                                 vote_cm, 0.0)
+                        # sync so device-side kernel failures trigger
+                        # the fallback (async dispatch otherwise
+                        # surfaces them outside this try)
+                        float(vote_cm[0, 0, 0, 0])
                     except Exception as exc:
                         print("handle_tv: fused TV path failed "
                               f"({type(exc).__name__}); falling back",

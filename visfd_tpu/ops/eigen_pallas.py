@@ -278,7 +278,10 @@ def _pick_by(ny: int, nxa: int) -> int:
     while (by > 8 and
            _SOLVER_STACK_SLOTS * (by + 2) * nxa * 4
            > _STACK_BUDGET_BYTES):
-        by //= 2
+        # keep the block a multiple of the 8-row f32 sublane tile
+        # (plain halving of e.g. 24 would yield 12 and misalign the
+        # out BlockSpec)
+        by = max(8, _round_up(by // 2, 8))
     return by
 
 

@@ -359,6 +359,34 @@ def _tv_pallas_padded_core(fields, out_shape, hw, ker, exponent,
     return vote, den
 
 
+def _split_nvec(nvec, sal_shape, channel_major):
+    """Split a direction field into component planes.  Layout is
+    (Z, Y, X, 3) by default or channel-major (3, Z, Y, X) with
+    ``channel_major=True``; ``None`` autodetects by shape but REFUSES
+    the one ambiguous case (a 3x3x3 volume, where both layouts have
+    shape (3, 3, 3, 3))."""
+    sal_shape = tuple(sal_shape)
+    cm_ok = (nvec.ndim == 4 and nvec.shape[0] == 3
+             and tuple(nvec.shape[1:]) == sal_shape)
+    cl_ok = (nvec.ndim == 4 and nvec.shape[-1] == 3
+             and tuple(nvec.shape[:-1]) == sal_shape)
+    if channel_major is None:
+        if cm_ok and cl_ok:
+            raise ValueError(
+                "nvec layout is ambiguous for this shape; pass "
+                "nvec_channel_major explicitly")
+        channel_major = cm_ok
+    if channel_major:
+        if not cm_ok:
+            raise ValueError(f"expected channel-major (3,)+{sal_shape}"
+                             f" nvec, got {tuple(nvec.shape)}")
+        return nvec[0], nvec[1], nvec[2]
+    if not cl_ok:
+        raise ValueError(f"expected {sal_shape}+(3,) nvec, got "
+                         f"{tuple(nvec.shape)}")
+    return nvec[..., 0], nvec[..., 1], nvec[..., 2]
+
+
 def tv_dense_stick_pallas_prepadded(
     sal_pad: jax.Array,           # (Z+2hw, Y+2hw, X+2hw) float32
     nvec_pad: jax.Array,          # (Z+2hw, Y+2hw, X+2hw, 3) or (3, ...)
@@ -372,6 +400,7 @@ def tv_dense_stick_pallas_prepadded(
     interpret: bool = False,
     sparse: bool = False,
     channel_major: bool = False,
+    nvec_channel_major: Optional[bool] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Pallas voting over fields whose hw-deep halos were filled by
     the CALLER (mesh halo exchange; zeros outside the global volume).
@@ -390,11 +419,7 @@ def tv_dense_stick_pallas_prepadded(
         sal_eff = sal_pad
         md = jnp.ones_like(sal_pad)
     n_fields = 5 if want_denominator else 4
-    if nvec_pad.ndim == 4 and nvec_pad.shape[0] == 3 \
-            and nvec_pad.shape[1:] == sal_pad.shape:
-        nv = (nvec_pad[0], nvec_pad[1], nvec_pad[2])  # channel-major
-    else:
-        nv = (nvec_pad[..., 0], nvec_pad[..., 1], nvec_pad[..., 2])
+    nv = _split_nvec(nvec_pad, sal_pad.shape, nvec_channel_major)
     fields = [sal_eff, nv[0], nv[1], nv[2], md][:n_fields]
     return _tv_pallas_padded_core(
         fields, tuple(out_shape), hw, ker, int(exponent),
@@ -414,6 +439,7 @@ def tv_dense_stick_pallas(
     interpret: bool = False,
     sparse: bool = False,
     channel_major: bool = False,
+    nvec_channel_major: Optional[bool] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Raw (unnormalized) vote tensors (Z, Y, X, 6) -- or channel-major
     (6, Z, Y, X) with ``channel_major=True`` -- and optionally the
@@ -436,10 +462,7 @@ def tv_dense_stick_pallas(
 
     n_fields = 5 if want_denominator else 4
     pad = [(hw, hw)] * 3
-    if nvec.ndim == 4 and nvec.shape[0] == 3 and nvec.shape[1:] == sal.shape:
-        nv = (nvec[0], nvec[1], nvec[2])   # channel-major direction field
-    else:
-        nv = (nvec[..., 0], nvec[..., 1], nvec[..., 2])
+    nv = _split_nvec(nvec, sal.shape, nvec_channel_major)
     fields = [jnp.pad(f, pad) for f in
               ([sal_eff, nv[0], nv[1], nv[2], md][:n_fields])]
     return _tv_pallas_padded_core(

@@ -161,6 +161,7 @@ def tv_accumulate_sharded_pallas(
     interpret: bool = False,
     sparse: bool = False,
     channel_major: bool = False,
+    nvec_channel_major=None,
 ):
     """Raw (unnormalized) vote accumulation of a mesh-sharded volume
     through the per-shard Pallas kernel: halo-exchange saliency /
@@ -173,8 +174,17 @@ def tv_accumulate_sharded_pallas(
     hw = int(np.floor(sigma * truncate_ratio))
     has_mask = mask_src is not None
     xpad3 = ((0, 0), (0, 0), (hw, hw))
-    nv_cm = (nvec.ndim == 4 and nvec.shape[0] == 3
-             and nvec.shape[1:] == saliency.shape)
+    if nvec_channel_major is None:
+        cm_ok = (nvec.ndim == 4 and nvec.shape[0] == 3
+                 and nvec.shape[1:] == saliency.shape)
+        cl_ok = (nvec.ndim == 4 and nvec.shape[-1] == 3
+                 and nvec.shape[:-1] == saliency.shape)
+        if cm_ok and cl_ok:
+            raise ValueError("nvec layout is ambiguous for this shape;"
+                             " pass nvec_channel_major explicitly")
+        nv_cm = cm_ok
+    else:
+        nv_cm = bool(nvec_channel_major)
 
     def local(sal, nv, m):
         sal_pad = jnp.pad(halo_pad_2d(sal, hw, hw, z_name, y_name), xpad3)
@@ -192,7 +202,8 @@ def tv_accumulate_sharded_pallas(
             mask_pad=m_pad, detect_curves=detect_curves,
             truncate_ratio=truncate_ratio,
             want_denominator=want_denominator, interpret=interpret,
-            sparse=sparse, channel_major=channel_major)
+            sparse=sparse, channel_major=channel_major,
+            nvec_channel_major=nv_cm)
         if den is None:
             den = jnp.zeros_like(sal)
         return dest, den
@@ -264,6 +275,9 @@ def sym3_score_sharded(
     tensor field (no halos needed -- purely voxelwise)."""
     from visfd_tpu.ops.eigen_pallas import (_n_score_channels,
                                             _sym3_score_impl)
+    if t6.shape[0] != 6:
+        raise ValueError("t6 must be channel-major (6, Z, Y, X)")
+    t6 = jnp.asarray(t6, jnp.float32)
     z_name, y_name = mesh.axis_names
 
     def local(t):

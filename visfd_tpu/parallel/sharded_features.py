@@ -601,11 +601,27 @@ def propagate_watershed_sharded(
                                None if m_j is None else np.asarray(m_j),
                                offs_, mesh)
 
+    def add_boundaries(res, x_s, offs_):
+        """Shared Meyer-boundary post-pass: sharded minimax flood from
+        the basin roots, host contested-set cascade."""
+        import dataclasses as _dc
+        from visfd_tpu.segment.propagate import meyer_boundaries
+        seeds = np.zeros(res.labels.shape, np.int32)
+        locs = np.asarray(res.basin_locations)
+        if len(locs):
+            seeds[locs[:, 2], locs[:, 1], locs[:, 0]] = np.arange(
+                1, len(locs) + 1, dtype=np.int32)
+        r, _ = minimax_fn(x_s, seeds, mask, offs_)
+        labels = meyer_boundaries(
+            res.labels, r, x_s, offs_,
+            valid=None if mask is None else np.asarray(mask),
+            label_boundary=label_boundary)
+        return _dc.replace(res, labels=labels)
+
     if markers is not None:
         # marker labels come from the minimax flood (not descent);
         # round 4: the flood itself runs mesh-sharded, the host only
         # builds seeds and remaps basin ids to user marker labels
-        import jax.numpy as _jnp
         x_s = np.asarray(source, np.float32)
         if not start_from_minima:
             x_s = -x_s
@@ -619,19 +635,7 @@ def propagate_watershed_sharded(
             start_from_minima, halt_s, label_undefined,
             minimax_fn=minimax_fn)
         if show_boundaries:
-            import dataclasses as _dc
-            from visfd_tpu.segment.propagate import meyer_boundaries
-            seeds = np.zeros(res.labels.shape, np.int32)
-            locs = np.asarray(res.basin_locations)
-            if len(locs):
-                seeds[locs[:, 2], locs[:, 1], locs[:, 0]] = np.arange(
-                    1, len(locs) + 1, dtype=np.int32)
-            r, _ = minimax_fn(x_s, seeds, mask, offs_all)
-            labels = meyer_boundaries(
-                res.labels, r, x_s, offs_all,
-                valid=None if mask is None else np.asarray(mask),
-                label_boundary=label_boundary)
-            res = _dc.replace(res, labels=labels)
+            res = add_boundaries(res, x_s, offs_all)
         return res
 
     x = np.asarray(source, np.float32)
@@ -682,19 +686,7 @@ def propagate_watershed_sharded(
                              start_from_minima=start_from_minima,
                              halt=halt, label_undefined=label_undefined)
     if show_boundaries:
-        import dataclasses as _dc
-        from visfd_tpu.segment.propagate import meyer_boundaries
-        seeds = np.zeros(res.labels.shape, np.int32)
-        locs = np.asarray(res.basin_locations)
-        if len(locs):
-            seeds[locs[:, 2], locs[:, 1], locs[:, 0]] = np.arange(
-                1, len(locs) + 1, dtype=np.int32)
-        r, _ = minimax_fn(x, seeds, mask, offs)
-        labels = meyer_boundaries(
-            res.labels, r, x, offs,
-            valid=None if mask is None else np.asarray(mask),
-            label_boundary=label_boundary)
-        res = _dc.replace(res, labels=labels)
+        res = add_boundaries(res, x, offs)
     return res
 
 
