@@ -292,3 +292,76 @@ def test_sharded_sym3_score_matches_single(mesh8, rng):
     b = np.asarray(ref)
     np.testing.assert_allclose(np.asarray(got), b, rtol=2e-5,
                                atol=np.abs(b).max() * 1e-6)
+
+
+def test_init_distributed_two_process_smoke(tmp_path):
+    """GENUINE 2-process jax.distributed smoke (the round-3 advisor's
+    ask): both processes build the global 8-device mesh (4 forced CPU
+    devices each), run the exact distributed -tv-best quantile and
+    global stats over a process-spanning sharded field, and verify
+    against a host oracle gathered with process_allgather (np.asarray
+    on a non-fully-addressable global array would raise)."""
+    import subprocess
+    import sys
+
+    worker = tmp_path / "mh_worker.py"
+    worker.write_text(
+        "import os, sys\n"
+        "pid = int(sys.argv[1])\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "os.environ['XLA_FLAGS'] = "
+        "'--xla_force_host_platform_device_count=4'\n"
+        "os.environ['VISFD_COORDINATOR'] = '127.0.0.1:18998'\n"
+        "os.environ['VISFD_NUM_PROCESSES'] = '2'\n"
+        "os.environ['VISFD_PROCESS_ID'] = str(pid)\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from visfd_tpu.parallel.distributed import (init_distributed,"
+        " shutdown_distributed)\n"
+        "assert init_distributed() is True\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import jax.numpy as jnp\n"
+        "import numpy as np\n"
+        "assert jax.process_count() == 2\n"
+        "assert len(jax.devices()) == 8\n"
+        "from visfd_tpu.parallel.mesh import make_mesh, grid_sharding\n"
+        "from visfd_tpu.parallel.reduce import (fraction_threshold,"
+        " global_min_max_mean)\n"
+        "mesh = make_mesh()\n"
+        "sh = grid_sharding(mesh)\n"
+        "n = 16\n"
+        "@jax.jit\n"
+        "def gen():\n"
+        "    zz = jax.lax.broadcasted_iota(jnp.float32, (n, n, n), 0)\n"
+        "    yy = jax.lax.broadcasted_iota(jnp.float32, (n, n, n), 1)\n"
+        "    xx = jax.lax.broadcasted_iota(jnp.float32, (n, n, n), 2)\n"
+        "    return jnp.sin(zz * 12.99 + yy * 78.2 + xx * 37.7)\n"
+        "x = jax.jit(gen, out_shardings=sh)()\n"
+        "thr = float(fraction_threshold(x, 0.05, mesh=mesh))\n"
+        "vmin, vmax, _ = (float(v) for v in global_min_max_mean(x,"
+        " mesh))\n"
+        "from jax.experimental import multihost_utils\n"
+        "ref = np.asarray(multihost_utils.process_allgather(x,"
+        " tiled=True))\n"
+        "assert ref.shape == (n, n, n)\n"
+        "k = int(np.floor(0.05 * ref.size))\n"
+        "want = np.sort(ref.reshape(-1))[::-1][min(k, ref.size - 1)]\n"
+        "assert thr == want, (thr, want)\n"
+        "assert vmin == ref.min() and vmax == ref.max()\n"
+        "shutdown_distributed()\n"
+        "print(f'proc{pid}-ok thr={thr}')\n")
+
+    procs = [subprocess.Popen([sys.executable, str(worker), str(i)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.PIPE, text=True,
+                              cwd="/root/repo")
+             for i in range(2)]
+    outs = []
+    for i, pr in enumerate(procs):
+        out, err = pr.communicate(timeout=180)
+        assert pr.returncode == 0, f"proc{i}:\n{err[-2000:]}"
+        outs.append(out)
+    assert "proc0-ok" in outs[0] and "proc1-ok" in outs[1]
+    thr0 = outs[0].split("thr=")[1].strip()
+    thr1 = outs[1].split("thr=")[1].strip()
+    assert thr0 == thr1
