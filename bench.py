@@ -215,14 +215,19 @@ def main():
         try:
             dt3 = run_mode(tv_mode, tv_sigma=2.2,
                            loop_iters=max(10, iters // 4))
+            method3 = "fori_loop"
         except Exception:
             dt3 = run_mode_chained(tv_mode, tv_sigma=2.2,
                                    n_iters=max(10, iters // 4))
+            method3 = "chained"
         print(json.dumps({
             "metric": "membrane_tv_hw3_pipeline_voxels_per_s",
             "value": round((n ** 3) / dt3, 1),
             "unit": "voxels/s",
             "vs_baseline": vs((n ** 3) / dt3),
+            # which timing methodology produced this number (round-4
+            # advisor: fori_loop and chained rows are not comparable)
+            "method": method3,
         }), file=sys.stderr)
     except Exception as e:
         print(f"bench: hw3 config failed ({e})", file=sys.stderr)

@@ -84,8 +84,8 @@ def main():
                          "volumes exceed the axon tunnel request cap")
     ap.add_argument("--stages", default="all",
                     help="comma list: gauss,hessian,eig,tv,tvlarge,"
-                         "capacity,blob,pipeline (capacity probes "
-                         "until HBM overflow)")
+                         "sparse,capacity,blob,segtail,e2e,pipeline "
+                         "(capacity probes until HBM overflow)")
     ap.add_argument("--tv-large", type=int, default=384,
                     help="production-scale TV validation volume edge "
                          "(saliency/direction generated ON DEVICE so "
@@ -252,7 +252,10 @@ def main():
 
     # ---- 3b. fused Pallas eigen kernels (ops/eigen_pallas.py) ----
     from visfd_tpu.ops.eigen_pallas import (hessian_principal_pallas,
-                                            sym3_score_pallas)
+                                            sym3_score_pallas,
+                                            SOLVER_FLOPS_PER_VOX,
+                                            SOLVER_FLOPS_NO_V,
+                                            HESSIAN_STENCIL_FLOPS)
 
     if want("eig"):
         # kernel A replaces hessian_fd + principal_sym3 + planar score
@@ -265,6 +268,8 @@ def main():
         try:
             dt = _bench(hess_eig_fused, (xd,), cfg.iters, scalar_perturb)
             record("hessian_eig_fused", dt, bytes_per_vox=(1 + 4) * 4,
+                   flops_per_vox=(SOLVER_FLOPS_PER_VOX
+                                  + HESSIAN_STENCIL_FLOPS),
                    vox=nd ** 3,
                    note=f"fused FD Hessian + principal eigensolve + "
                         f"planar score, one kernel, {nd}^3")
@@ -273,19 +278,29 @@ def main():
             results["hessian_eig_fused"] = {"error": str(e)}
 
         # kernel C replaces diagonalize(want_vects=False) + stick score
-        # over the channel-major vote tensor
-        t6 = jnp.moveaxis(hfield, -1, 0)
+        # over the channel-major vote tensor -- measured at the DENSE
+        # size (the 128^3 row was dispatch-bound through the tunnel,
+        # round-4 weak #3); the field is generated on device
+        # xd rides as an ARGUMENT (closing over the device array would
+        # embed it as a jaxpr constant -> tunnel 413 size cap)
+        @jax.jit
+        def gen_t6(v):
+            return jnp.moveaxis(FH.hessian_fd(v), -1, 0)
 
         def sym3_fused(t):
             s, _ = sym3_score_pallas(t, decreasing=True, formula="stick")
             return s
 
         try:
+            t6 = gen_t6(xd)
+            float(t6[0, 0, 0, 0])
             dt = _bench(sym3_fused, (t6,), cfg.iters, scalar_perturb)
             record("sym3_score_fused", dt, bytes_per_vox=(6 + 1) * 4,
-                   vox=n_eig ** 3,
-                   note="fused eigenvalues + stick score of channel-"
-                        "major tensor field")
+                   flops_per_vox=SOLVER_FLOPS_NO_V,
+                   vox=nd ** 3,
+                   note=f"fused eigenvalues + stick score of channel-"
+                        f"major tensor field, {nd}^3")
+            del t6
         except Exception as e:
             print(f"sym3_score_fused: FAILED ({e})", file=sys.stderr)
             results["sym3_score_fused"] = {"error": str(e)}
@@ -379,38 +394,38 @@ def main():
     # production volume.  The saliency/direction fields are GENERATED
     # ON DEVICE (jax.random) so the compile request ships no large
     # arrays (the axon tunnel 413-caps requests around 256^3 x 3ch).
+    # cheap deterministic on-device fields (iota + sin hash) for the
+    # tvlarge AND sparse stages: jax.random at this size adds minutes
+    # of compile through the tunnel's per-request AOT helper, and
+    # shipping host arrays trips the request-size cap.  sal and nvec
+    # are SEPARATE single-output jits: the combined two-output program
+    # wedged the tunnel's AOT compile helper indefinitely (observed
+    # >20 min with no response; each half compiles in seconds).
+    n_l = cfg.tv_large
+
+    def _iotas():
+        zz = jax.lax.broadcasted_iota(jnp.float32, (n_l,) * 3, 0)
+        yy = jax.lax.broadcasted_iota(jnp.float32, (n_l,) * 3, 1)
+        xx = jax.lax.broadcasted_iota(jnp.float32, (n_l,) * 3, 2)
+        return zz, yy, xx
+
+    @jax.jit
+    def gen_sal():
+        zz, yy, xx = _iotas()
+        return jnp.abs(jnp.sin(zz * 12.9898 + yy * 78.233
+                               + xx * 37.719))
+
+    @jax.jit
+    def gen_nv():
+        zz, yy, xx = _iotas()
+        v0 = jnp.sin(zz * 1.3 + yy * 2.7 + xx * 0.71 + 1.0)
+        v1 = jnp.sin(zz * 0.9 + yy * 1.1 + xx * 2.3 + 2.0)
+        v2 = jnp.sin(zz * 2.1 + yy * 0.6 + xx * 1.7 + 3.0) + 0.05
+        nv = jnp.stack([v0, v1, v2], 0)   # channel-major (3,Z,Y,X)
+        return nv / jnp.maximum(
+            jnp.sqrt(jnp.sum(nv * nv, 0, keepdims=True)), 1e-12)
+
     if want("tvlarge") and cfg.tv_large > 0:
-        n_l = cfg.tv_large
-
-        # cheap deterministic on-device fields (iota + sin hash):
-        # jax.random at this size adds minutes of compile through the
-        # tunnel's per-request AOT helper, and shipping host arrays
-        # trips the request-size cap.  sal and nvec are SEPARATE
-        # single-output jits: the combined two-output program wedged
-        # the tunnel's AOT compile helper indefinitely (observed
-        # >20 min with no response; each half compiles in seconds).
-        def _iotas():
-            zz = jax.lax.broadcasted_iota(jnp.float32, (n_l,) * 3, 0)
-            yy = jax.lax.broadcasted_iota(jnp.float32, (n_l,) * 3, 1)
-            xx = jax.lax.broadcasted_iota(jnp.float32, (n_l,) * 3, 2)
-            return zz, yy, xx
-
-        @jax.jit
-        def gen_sal():
-            zz, yy, xx = _iotas()
-            return jnp.abs(jnp.sin(zz * 12.9898 + yy * 78.233
-                                   + xx * 37.719))
-
-        @jax.jit
-        def gen_nv():
-            zz, yy, xx = _iotas()
-            v0 = jnp.sin(zz * 1.3 + yy * 2.7 + xx * 0.71 + 1.0)
-            v1 = jnp.sin(zz * 0.9 + yy * 1.1 + xx * 2.3 + 2.0)
-            v2 = jnp.sin(zz * 2.1 + yy * 0.6 + xx * 1.7 + 3.0) + 0.05
-            nv = jnp.stack([v0, v1, v2], 0)   # channel-major (3,Z,Y,X)
-            return nv / jnp.maximum(
-                jnp.sqrt(jnp.sum(nv * nv, 0, keepdims=True)), 1e-12)
-
         hw_list = tuple(int(h) for h in cfg.tv_large_hw.split(","))
         try:
             sal_l = gen_sal()
@@ -447,6 +462,87 @@ def main():
                         "error": str(e)}
         except Exception as e:
             print(f"tvlarge field generation FAILED ({e})",
+                  file=sys.stderr)
+
+    # ---- 4b2. sparse (-tv-best) occupancy sweep at production scale --
+    # round-4 verdict #2: the cost lever was only ever measured at a
+    # dispatch-bound 128^3.  This sweeps source occupancy at 384^3 /
+    # hw=3 with two field shapes: "planes" (membrane-like z-coherent
+    # saliency, the realistic output of the -tv-best top-fraction
+    # threshold: a surface) and "random" (uniform scatter -- the
+    # ADVERSARIAL case for the per-source-z-plane gate: at 5% random
+    # occupancy every (slab_ny x X) row contains a nonzero voxel, so
+    # no group can be skipped; the reference's per-voxel skip
+    # (feature.hpp:1704-1709) has the same character on a vector
+    # machine only if the sparsity is spatially coherent).
+    if want("sparse") and cfg.tv_large > 0:
+        n_s = cfg.tv_large
+        hw_s = 3
+        tv_sigma_s = hw_s / np.sqrt(2.0) + 1e-6
+        fl_s = tv_flops(hw_s)
+
+        @jax.jit
+        def gen_u():
+            zz = jax.lax.broadcasted_iota(jnp.float32, (n_s,) * 3, 0)
+            yy = jax.lax.broadcasted_iota(jnp.float32, (n_s,) * 3, 1)
+            xx = jax.lax.broadcasted_iota(jnp.float32, (n_s,) * 3, 2)
+            u = jnp.abs(jnp.sin(zz * 12.9898 + yy * 78.233
+                                + xx * 37.719))
+            return u, zz
+
+        def gen_sparse_field(kind, occ):
+            u, zz = gen_u()
+
+            @jax.jit
+            def fin(u, zz):
+                if kind == "planes":
+                    stride = max(1, int(round(1.0 / occ)))
+                    on = (zz.astype(jnp.int32) % stride) == 0
+                    return jnp.where(on, u, 0.0)
+                return jnp.where(u > 1.0 - occ, u, 0.0)
+
+            return fin(u, zz)
+
+        try:
+            nvec_s = gen_nv()   # same on-device generator as tvlarge
+            float(nvec_s[0, 0, 0, 0])
+
+            def tv_sp(s, nv, sparse):
+                vote, _ = tv_dense_stick_pallas(
+                    s, nv, tv_sigma_s, exponent=4,
+                    truncate_ratio=float(np.sqrt(2.0)), sparse=sparse)
+                return vote
+
+            it_s = max(3, cfg.iters // 6)
+            configs = [("planes", 0.05), ("planes", 0.01),
+                       ("planes", 1.0 / n_s), ("random", 0.05)]
+            sal_d = gen_sparse_field("planes", 0.05)
+            float(sal_d[0, 0, 0])
+            dt_dense = _bench(
+                lambda s, nv: tv_sp(s, nv, False), (sal_d, nvec_s),
+                it_s, lambda c, o: c + jnp.mean(o) * 1e-30)
+            record(f"tv{n_s}_hw3_dense_kernel", dt_dense,
+                   bytes_per_vox=(4 * (2 * hw_s + 1) + 6) * 4,
+                   flops_per_vox=fl_s, vox=n_s ** 3,
+                   note=f"dense kernel on the 5%-planes field, {n_s}^3"
+                        f" (occupancy-independent baseline)")
+            for kind, occ in configs:
+                sal_s = gen_sparse_field(kind, occ)
+                occ_true = float(jnp.mean((sal_s != 0)
+                                          .astype(jnp.float32)))
+                float(sal_s[0, 0, 0])
+                dt_s = _bench(
+                    lambda s, nv: tv_sp(s, nv, True), (sal_s, nvec_s),
+                    it_s, lambda c, o: c + jnp.mean(o) * 1e-30)
+                name = f"tv{n_s}_hw3_sparse_{kind}{100 * occ:g}"
+                record(name, dt_s, vox=n_s ** 3,
+                       note=f"occupancy-gated kernel, {kind} field, "
+                            f"{100 * occ_true:.2f}% occupied: "
+                            f"{dt_dense / dt_s:.1f}x vs dense")
+                del sal_s
+            del sal_d
+        except Exception as e:
+            print(f"sparse sweep FAILED ({type(e).__name__}: {e})",
                   file=sys.stderr)
 
     # ---- 4c. capacity: largest single-chip flagship volume ----
@@ -528,6 +624,83 @@ def main():
                note=f"{len(sigmas)}-sigma DoG ladder + 80-neighbor "
                     f"extremum + device compaction, {n_b}^3, "
                     f"{len(mins)}+{len(maxs)} blobs")
+
+    # ---- 5b. segmentation tail at scale (round-4 verdict #4) ----
+    # the host floods (native C++ visfd_connect_flood / Meyer
+    # watershed) are single-threaded; these rows show what they cost
+    # at production volume next to the device stages, so the e2e
+    # number below is explainable.
+    if want("segtail"):
+        from visfd_tpu.segment.watershed import watershed
+        from visfd_tpu.segment.connect import label_connected
+        from visfd_tpu.ops.filters import apply_gauss
+        n_g = min(cfg.dense_size, 384)
+
+        xg = jnp.asarray(rng.normal(
+            size=(n_g, n_g, n_g)).astype(np.float32))
+        smooth = apply_gauss(xg, 6.0, truncate_halfwidth=(9,) * 3)
+        x_host = np.asarray(smooth, np.float32)
+        del xg, smooth
+
+        try:
+            t0 = time.time()
+            res_ws = watershed(x_host, start_from_minima=True)
+            dt = time.time() - t0
+            record(f"watershed_{n_g}", dt, vox=n_g ** 3,
+                   note=f"host Meyer flood (native C++), {n_g}^3, "
+                        f"{res_ws.num_basins} basins")
+            del res_ws
+        except Exception as e:
+            print(f"watershed_{n_g}: FAILED ({e})", file=sys.stderr)
+            results[f"watershed_{n_g}"] = {"error": str(e)}
+
+        try:
+            thr = float(np.quantile(x_host, 0.95))
+            t0 = time.time()
+            res_lc = label_connected(x_host, threshold_saliency=thr,
+                                     start_from_saliency_maxima=True)
+            dt = time.time() - t0
+            record(f"connect_{n_g}", dt, vox=n_g ** 3,
+                   note=f"-connect: device seeds/gates + native flood "
+                        f"(top 5% candidates), {n_g}^3, "
+                        f"{res_lc.num_clusters} clusters")
+            del res_lc
+        except Exception as e:
+            print(f"connect_{n_g}: FAILED ({e})", file=sys.stderr)
+            results[f"connect_{n_g}"] = {"error": str(e)}
+        del x_host
+
+    # ---- 5c. true end-to-end CLI wall clock (read->...->write) ----
+    if want("e2e"):
+        import subprocess
+        import tempfile
+        from visfd_tpu.io import mrc as MRC
+        n_e = min(cfg.dense_size, 384)
+        with tempfile.TemporaryDirectory() as td:
+            vol = np.asarray(
+                jnp.asarray(rng.normal(size=(n_e,) * 3), jnp.float32))
+            MRC.write_mrc(os.path.join(td, "in.rec"), vol)
+            del vol
+            args = ["-w", "1", "-bin", "1",
+                    "-in", os.path.join(td, "in.rec"),
+                    "-out", os.path.join(td, "out.rec"),
+                    "-membrane", "minima", "3.4641016",
+                    "-tv", "2.2",      # tv_sigma 2.2 vox -> hw=3
+                    "-tv-angle-exponent", "4",
+                    "-connect", "1e+09"]
+            from visfd_tpu.cli import filter_mrc as FM
+            t0 = time.time()
+            rc = FM.run(args)    # includes compile on first run
+            dt_cold = time.time() - t0
+            assert rc == 0
+            t0 = time.time()
+            rc = FM.run(args)
+            dt = time.time() - t0
+            assert rc == 0
+            record(f"cli_e2e_{n_e}", dt, vox=n_e ** 3,
+                   note=f"full CLI: read -> membrane -> TV(hw3) -> "
+                        f"connect -> write, {n_e}^3, warm "
+                        f"(cold incl. compile: {dt_cold:.1f}s)")
 
     # ---- 6. full pipeline (the bench.py number), both TV paths ----
     import bench as BENCH

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from visfd_tpu.cli import settings as S
 from visfd_tpu.cli.settings import Settings, InputError
 from visfd_tpu.io import mrc
+from visfd_tpu.parallel.gather import to_host_np, is_writer
 from visfd_tpu.io.coords import (read_blob_coords_file,
                                  write_blob_coords_file, fmt_g,
                                  read_coordinates)
@@ -87,12 +88,15 @@ def _maybe_shard(s: Settings, arr):
     mesh = _cli_mesh(s)
     if mesh is None:
         return arr
+    # every sharded consumer in this driver is a 3-D (Z, Y, X) volume;
+    # anything lower-rank would silently shard the wrong axis
+    assert arr.ndim >= 3, arr.shape
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
     nz_m, ny_m = mesh.devices.shape
     zn, yn = mesh.axis_names
     spec = (zn if arr.shape[0] % nz_m == 0 else None,
-            yn if arr.ndim > 1 and arr.shape[1] % ny_m == 0 else None)
+            yn if arr.shape[1] % ny_m == 0 else None)
     if spec != (zn, yn):
         print(f"-mesh: volume {tuple(arr.shape)} not divisible by the "
               f"({nz_m}, {ny_m}) device grid; sharding axes {spec}",
@@ -153,7 +157,7 @@ def handle_binning(s: Settings, img, mask_img, w):
 def handle_gauss(s, x, mask):
     sig = s.width_a
     hw = [max(1, int(np.floor(si * _truncate_ratio(s)))) for si in sig]
-    return np.asarray(F.apply_gauss(
+    return to_host_np(F.apply_gauss(
         x, tuple(sig), mask=mask, truncate_halfwidth=hw,
         normalize=s.normalize_near_boundaries))
 
@@ -173,14 +177,14 @@ def handle_ggauss(s, x, mask):
         normalize=s.normalize_near_boundaries)
     if mask is not None:
         out = jnp.where(jnp.asarray(mask) != 0, out, 0.0)
-    return np.asarray(out)
+    return to_host_np(out)
 
 
 def handle_dogg(s, x, mask):
     """``HandleDogg`` (``handlers.cpp:265-293``): difference of
     generalized Gaussians honoring ``-exponents m n``; dense conv,
     no edge normalization."""
-    return np.asarray(F.apply_dogg(
+    return to_host_np(F.apply_dogg(
         x, tuple(s.width_a), tuple(s.width_b), s.m_exp, s.n_exp,
         mask=mask,
         truncate_ratio=s.filter_truncate_ratio,
@@ -195,18 +199,18 @@ def handle_dog(s, x, mask):
     hwb = [max(1, int(np.floor(si * tr))) for si in s.width_b]
     ga = F.apply_gauss(x, tuple(s.width_a), mask=mask, truncate_halfwidth=hwa)
     gb = F.apply_gauss(x, tuple(s.width_b), mask=mask, truncate_halfwidth=hwb)
-    return np.asarray(ga - gb)
+    return to_host_np(ga - gb)
 
 
 def handle_log(s, x, mask):
-    return np.asarray(F.apply_log(
+    return to_host_np(F.apply_log(
         x, tuple(s.log_width), mask=mask,
         delta_sigma_over_sigma=s.delta_sigma_over_sigma,
         truncate_ratio=_truncate_ratio(s)))
 
 
 def handle_median(s, x, mask):
-    return np.asarray(F.median_filter(x, s.median_radius, mask=mask))
+    return to_host_np(F.median_filter(x, s.median_radius, mask=mask))
 
 
 def handle_morphology(s, x, mask):
@@ -218,7 +222,7 @@ def handle_morphology(s, x, mask):
         S.TOP_HAT_WHITE: M.white_top_hat_sphere,
         S.TOP_HAT_BLACK: M.black_top_hat_sphere,
     }[s.filter_type]
-    return np.asarray(fn(x, s.morphology_r, mask=mask,
+    return to_host_np(fn(x, s.morphology_r, mask=mask,
                          radius_max=s.morphology_rmax,
                          bmax=s.morphology_bmax
                          if s.morphology_rmax > 0 else 0.0))
@@ -233,7 +237,7 @@ def handle_fluct(s, x, mask):
         tr = K.halfwidth_from_threshold(
             1.0, s.template_background_exponent,
             s.filter_truncate_threshold)
-    return np.asarray(F.local_fluctuations_by_radius(
+    return to_host_np(F.local_fluctuations_by_radius(
         x, tuple(s.template_background_radius), mask=mask,
         m_exp=s.template_background_exponent,
         truncate_ratio=tr,
@@ -654,7 +658,7 @@ def handle_blob_radial_intensity(s, x_np, mask_np, w):
 
 def handle_tv(s, img, x_np, mask_np, w):
     """``HandleTV`` (``handlers.cpp:1501-2357``)."""
-    from visfd_tpu.utils import Report, stage
+    from visfd_tpu.utils import Report, stage, record_path, format_paths
     rep = Report(sys.stderr)
     order = (sym3.EigenOrder.INCREASING if s.ridges_are_maxima
              else sym3.EigenOrder.DECREASING)
@@ -712,15 +716,30 @@ def handle_tv(s, img, x_np, mask_np, w):
                     score, dir_cm = hessian_principal_pallas(
                         blur, sigma, **kw_f)
                 # dispatch is async: surface device-side kernel
-                # failures HERE so the XLA fallback below engages
-                # (a scalar fetch is the only sync on this backend)
-                float(score[0, 0, 0])
+                # failures HERE so the XLA fallback below engages.
+                # The reduced isfinite doubles as a cheap invariant --
+                # a Mosaic runtime fault that produces garbage instead
+                # of raising is caught too (round-4 advisor).  The
+                # scalar reduction is replicated under GSPMD, so the
+                # fetch is multi-process safe.
+                if not bool(jnp.isfinite(score).all()):
+                    raise FloatingPointError(
+                        "fused eigen score is not finite")
+                record_path("hessian_eigen",
+                            "pallas-fused-sharded"
+                            if grid_mesh_f is not None else
+                            "pallas-fused")
             except Exception as exc:
                 print("handle_tv: fused eigen path failed "
-                      f"({type(exc).__name__}); falling back to XLA",
+                      f"({type(exc).__name__}); falling back to XLA "
+                      "(also fires on non-finite input volumes)",
                       file=sys.stderr)
+                record_path("hessian_eigen", "xla-fallback")
                 fused = False
         if not fused:
+            from visfd_tpu.utils import stage_paths
+            if stage_paths().get("hessian_eigen") != "xla-fallback":
+                record_path("hessian_eigen", "xla")
             grad, hess = FH.calc_hessian(x, sigma, mask=mask,
                                          truncate_ratio=tr)
             # the handler consumes eivals and the principal eigenvector
@@ -818,14 +837,26 @@ def handle_tv(s, img, x_np, mask_np, w):
                                                 vote_cm, 0.0)
                         # sync so device-side kernel failures trigger
                         # the fallback (async dispatch otherwise
-                        # surfaces them outside this try)
-                        float(vote_cm[0, 0, 0, 0])
+                        # surfaces them outside this try); the reduced
+                        # isfinite is multi-process safe and catches
+                        # garbage-producing runtime faults too
+                        if not bool(jnp.isfinite(vote_cm).all()):
+                            raise FloatingPointError(
+                                "fused TV vote is not finite")
+                        record_path(
+                            "tv",
+                            ("pallas-sharded" if grid_mesh_f is not None
+                             else "pallas")
+                            + ("-sparse" if tv_sparse else ""))
                     except Exception as exc:
                         print("handle_tv: fused TV path failed "
                               f"({type(exc).__name__}); falling back",
                               file=sys.stderr)
+                        record_path("tv", "xla-fallback")
                         vote_cm = None
                 if vote_cm is None:
+                    # tv_dense_stick records its own "tv" path (it may
+                    # still route through the Pallas kernel)
                     dir_cl = (jnp.moveaxis(direction, 0, -1)
                               if fused else direction)
                     vote = TV.tv_dense_stick(
@@ -883,12 +914,15 @@ def handle_tv(s, img, x_np, mask_np, w):
         vote = jnp.moveaxis(vote_cm, 0, -1)
 
     if s.save_intermediate_fname_base and vote is not None:
-        vote_np = np.asarray(vote)
-        for d in range(6):
-            fname = f"{s.save_intermediate_fname_base}_tensor_{d}.rec"
-            print(f'writing "{fname}"', file=sys.stderr)
-            mrc.write_mrc(fname, vote_np[..., d].astype(np.float32),
-                          header=img.header)
+        # the gather is a collective: every process joins it, only
+        # process 0 writes the files
+        vote_np = to_host_np(vote)
+        if is_writer():
+            for d in range(6):
+                fname = f"{s.save_intermediate_fname_base}_tensor_{d}.rec"
+                print(f'writing "{fname}"', file=sys.stderr)
+                mrc.write_mrc(fname, vote_np[..., d].astype(np.float32),
+                              header=img.header)
 
     if s.save_progress_sharded and vote is not None:
         import jax
@@ -897,18 +931,23 @@ def handle_tv(s, img, x_np, mask_np, w):
         from jax.sharding import NamedSharding, PartitionSpec as P
         mesh_ck = make_mesh()
         nz_m, ny_m = mesh_ck.devices.shape
-        state = {
-            "vote": np.asarray(vote, np.float32),
-            "saliency": np.asarray(score, np.float32),
-            "direction": np.asarray(
-                jnp.moveaxis(direction, 0, -1) if fused else direction,
-                np.float32),
-        }
-        # shard (Z, Y) when the mesh divides the volume; otherwise the
-        # arrays are stored unsharded (tiny CLI fixtures)
-        if vote.shape[0] % nz_m == 0 and vote.shape[1] % ny_m == 0:
+        dir_cl = jnp.moveaxis(direction, 0, -1) if fused else direction
+
+        def _f32(a):
+            a = jnp.asarray(a)
+            return a if a.dtype == jnp.float32 else a.astype(jnp.float32)
+
+        # arrays stay on device with whatever sharding they carry --
+        # orbax writes each process's shards locally (no gather); when
+        # everything is process-local and the mesh divides the volume,
+        # re-shard so the checkpoint layout matches a -mesh run
+        state = {"vote": _f32(vote), "saliency": _f32(score),
+                 "direction": _f32(dir_cl)}
+        if (all(v.is_fully_addressable for v in state.values())
+                and vote.shape[0] % nz_m == 0
+                and vote.shape[1] % ny_m == 0):
             state = {
-                k: jax.device_put(jnp.asarray(v), NamedSharding(
+                k: jax.device_put(v, NamedSharding(
                     mesh_ck, P(*(("z", "y") + (None,) * (v.ndim - 2)))))
                 for k, v in state.items()
             }
@@ -950,7 +989,7 @@ def handle_tv(s, img, x_np, mask_np, w):
         if res.vector_standardized is not None:
             direction_np = res.vector_standardized
         else:
-            direction_np = np.asarray(vev1)
+            direction_np = to_host_np(vev1)
         labels = np.where(res.labels > res.num_clusters, -1, res.labels)
         max_label = labels.max() if labels.size else 0
         out = labels.astype(np.float32)
@@ -961,38 +1000,43 @@ def handle_tv(s, img, x_np, mask_np, w):
             out[undef] = s.undefined_voxel_brightness
         labels_img = out
     else:
-        out = np.asarray(score, np.float32)
+        out = to_host_np(score, np.float32)
 
     if s.out_normals_fname:
+        # the gathers are collectives (every process joins); the
+        # host-side surface walker + PLY write run on process 0 only
         if direction_np is None:
-            direction_np = np.asarray(
+            direction_np = to_host_np(
                 jnp.moveaxis(direction, 0, -1) if fused else direction)
-        score_np = np.asarray(score)
-        crds_list, norms_list = [], []
-        nz, ny, nx = score_np.shape
-        sel = np.ones(score_np.shape, bool)
-        if mask_np is not None:
-            sel &= mask_np != 0
-        if not s.cluster_connected_voxels:
-            zz, yy, xx = np.nonzero(sel)
-            for z, y, xq in zip(zz, yy, xx):
-                crds_list.append((xq * w[0], y * w[1], z * w[2]))
-                norms_list.append(tuple(direction_np[z, y, xq]))
-        else:
-            sel &= labels_img == s.select_cluster
-            zz, yy, xx = np.nonzero(sel)
-            for z, y, xq in zip(zz, yy, xx):
-                xyz, normal = _surface_point(
-                    s, score_np, direction_np, labels_img, mask_np,
-                    int(xq), int(y), int(z))
-                if xyz is None:
-                    continue
-                crds_list.append(tuple(c * wi for c, wi
-                                       in zip(xyz, w)))
-                norms_list.append(tuple(normal))
-        write_oriented_pointcloud_ply(s.out_normals_fname,
-                                      np.asarray(crds_list).reshape(-1, 3),
-                                      np.asarray(norms_list).reshape(-1, 3))
+        score_np = to_host_np(score)
+        if is_writer():
+            crds_list, norms_list = [], []
+            nz, ny, nx = score_np.shape
+            sel = np.ones(score_np.shape, bool)
+            if mask_np is not None:
+                sel &= mask_np != 0
+            if not s.cluster_connected_voxels:
+                zz, yy, xx = np.nonzero(sel)
+                for z, y, xq in zip(zz, yy, xx):
+                    crds_list.append((xq * w[0], y * w[1], z * w[2]))
+                    norms_list.append(tuple(direction_np[z, y, xq]))
+            else:
+                sel &= labels_img == s.select_cluster
+                zz, yy, xx = np.nonzero(sel)
+                for z, y, xq in zip(zz, yy, xx):
+                    xyz, normal = _surface_point(
+                        s, score_np, direction_np, labels_img, mask_np,
+                        int(xq), int(y), int(z))
+                    if xyz is None:
+                        continue
+                    crds_list.append(tuple(c * wi for c, wi
+                                           in zip(xyz, w)))
+                    norms_list.append(tuple(normal))
+            write_oriented_pointcloud_ply(
+                s.out_normals_fname,
+                np.asarray(crds_list).reshape(-1, 3),
+                np.asarray(norms_list).reshape(-1, 3))
+    print(format_paths(), file=sys.stderr)
     return out
 
 
@@ -1363,7 +1407,7 @@ def run(argv) -> int:
     if out is None or not s.out_file_name:
         return 0
 
-    out = np.asarray(out, np.float32)
+    out = to_host_np(out, np.float32)
 
     if s.invert_output:
         oimg = mrc.MrcImage(header=img.header, data=out)
@@ -1396,8 +1440,12 @@ def run(argv) -> int:
         hdr = _dc.replace(hdr)
         if not np.isclose(w[0], hdr.cellA[0] / max(nxo, 1)):
             hdr.cellA = (nxo * w[0], nyo * w[1], nzo * w[2])
-    print("writing tomogram (in 32-bit float mode)", file=sys.stderr)
-    mrc.write_mrc(s.out_file_name, out, header=hdr)
+    if is_writer():
+        print("writing tomogram (in 32-bit float mode)", file=sys.stderr)
+        mrc.write_mrc(s.out_file_name, out, header=hdr)
+    else:
+        print("skipping tomogram write (process "
+              "!= 0 in a multi-process run)", file=sys.stderr)
     return 0
 
 

@@ -269,6 +269,7 @@ def tv_dense_stick(
         grid_mesh = _grid_mesh_of(saliency)
         if grid_mesh is None:
             use_pallas = False
+    fell_back = False
     if use_pallas:
         from visfd_tpu.ops.tv_pallas import tv_dense_stick_pallas
         try:
@@ -301,12 +302,20 @@ def tv_dense_stick(
                   f"({type(exc).__name__}); falling back to XLA",
                   file=_sys.stderr)
             use_pallas = False
+            fell_back = True
         else:
+            from visfd_tpu.utils import record_path
+            record_path("tv",
+                        ("pallas-sharded" if grid_mesh is not None
+                         else "pallas") + ("-sparse" if sparse else ""))
             if md is not None:
                 dest = jnp.where((md != 0)[..., None], dest, 0.0)
                 if den is not None:
                     den = jnp.where(md != 0, den, 0.0)
     if not use_pallas:
+        from visfd_tpu.utils import record_path
+        record_path("tv", ("xla-fallback" if fell_back else "xla")
+                    + ("-sparse" if sparse else ""))
         dest, den = _tv_accumulate(
             saliency, nvec, ms, md,
             jnp.asarray(w), jnp.asarray(rhat), jnp.asarray(offs),

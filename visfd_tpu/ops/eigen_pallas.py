@@ -55,6 +55,23 @@ _SQRT3 = float(np.sqrt(3.0))
 
 _FORMULAS = ("planar", "linear", "stick", "vals")
 
+# VPU work per voxel of the unrolled solver, counted from
+# _solve_sym3_planes / _score_channels (round-5 roofline accounting,
+# VERDICT r4 #3).  Plain elementwise ops (mul/add/sub/max/select/cmp)
+# count 1; div and sqrt count 4 (multi-pass on the VPU); the
+# transcendentals are Mosaic polynomial expansions: the in-kernel
+# atan2 is ~22 ops (3-range _atan_poly + selects + 2 div), cos/sin
+# ~15 each.  Tallies:
+#   shift/scale/normalize      ~17 + 6 div            =  41
+#   char. poly c0/c1/c2        ~26                    =  26
+#   roots (q, rho, theta, cos,
+#   sin, r0..r2)               ~24 + atan2 + cos/sin  =  76
+#   principal eigenvector      ~58 + rsqrt            =  66
+#   score + rescale            ~12                    =  12
+SOLVER_FLOPS_PER_VOX = 221          # eigensolve + score, with vector
+SOLVER_FLOPS_NO_V = 155             # without the eigenvector block
+HESSIAN_STENCIL_FLOPS = 30          # 6 FD stencils + sigma^2 scaling
+
 
 def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m

@@ -30,8 +30,10 @@ Two compile-size safeguards (round 3):
 * large windows are additionally split over several ``pallas_call``s,
   each handling a chunk of z-offsets (the per-call unrolled tap count
   stays below ``_MAX_TAPS_PER_CALL``; hw=5's 1331-tap single-call body
-  blew the Mosaic compiler stack outright).  Partial vote tensors are
-  summed in XLA.
+  blew the Mosaic compiler stack outright).  Later chunks accumulate
+  IN PLACE into the previous chunk's output (the running accumulator
+  is an input aliased to the output), so chunking adds no extra live
+  vote tensor to the HBM peak and no separate XLA add pass.
 """
 
 from __future__ import annotations
@@ -76,14 +78,20 @@ def _round_up(n: int, m: int) -> int:
 
 
 def _tv_kernel(hw, exponent, detect_curves, ker, want_den, sparse,
-               by, nxa, tz_lo, tz_hi, *refs):
+               has_acc, by, nxa, tz_lo, tz_hi, *refs):
     n_fields = 5 if want_den else 4
     w_len = 2 * hw + 1
     n_tz = tz_hi - tz_lo
     ins = refs[:n_fields]          # HBM-resident z/y-padded fields
-    out_ref = refs[n_fields]       # blocked VMEM (n_acc, 1, by, nxa)
-    slabs = refs[n_fields + 1:n_fields + 1 + n_fields]
-    sems = refs[n_fields + 1 + n_fields]
+    # when this call handles a later z-offset chunk, the running
+    # accumulator rides in as a blocked VMEM input ALIASED to the
+    # output (input_output_aliases), so chunking adds no extra live
+    # partial tensor in HBM (round-4 capacity finding)
+    acc_ref = refs[n_fields] if has_acc else None
+    n_in = n_fields + (1 if has_acc else 0)
+    out_ref = refs[n_in]           # blocked VMEM (n_acc, 1, by, nxa)
+    slabs = refs[n_in + 1:n_in + 1 + n_fields]
+    sems = refs[n_in + 1 + n_fields]
 
     i = pl.program_id(0)           # receiver z row
     j = pl.program_id(1)           # receiver y block
@@ -136,12 +144,17 @@ def _tv_kernel(hw, exponent, detect_curves, ker, want_den, sparse,
         for z in range(1, n_tz):
             block_occ = jnp.maximum(block_occ, zmax[z])
         for ch in range(n_acc):
-            out_ref[ch, 0] = jnp.zeros((by, nxa), jnp.float32)
+            out_ref[ch, 0] = (acc_ref[ch, 0] if has_acc
+                              else jnp.zeros((by, nxa), jnp.float32))
 
     def run_tap_groups(sparse_gated):
-        acc = (None if sparse_gated
-               else [jnp.zeros((by, nxa), jnp.float32)
-                     for _ in range(n_acc)])
+        if sparse_gated:
+            acc = None
+        elif has_acc:
+            acc = [acc_ref[ch, 0] for ch in range(n_acc)]
+        else:
+            acc = [jnp.zeros((by, nxa), jnp.float32)
+                   for _ in range(n_acc)]
         for tz in range(tz_lo, tz_hi):
             jz = tz - hw
             src_z = (2 * hw - tz) - (2 * hw - (tz_hi - 1))  # slab-local
@@ -237,7 +250,7 @@ def _tv_kernel(hw, exponent, detect_curves, ker, want_den, sparse,
 
 def _tv_pallas_one_call(fields, ker, hw, exponent, detect_curves,
                         want_den, sparse, by, n_yblk, slab_ny, nxa,
-                        nz, tz_lo, tz_hi, interpret):
+                        nz, tz_lo, tz_hi, interpret, acc=None):
     n_fields = 5 if want_den else 4
     n_acc = 7 if want_den else 6
     n_tz = tz_hi - tz_lo
@@ -252,28 +265,40 @@ def _tv_pallas_one_call(fields, ker, hw, exponent, detect_curves,
     # stack estimate must use nxp, not the output width nxa: at
     # 128^3/hw=3 (nxa=128, nxp=256) an nxa-based estimate (19.7 MB)
     # undershot the measured 23.5 MB stack and failed the compile
+    has_acc = acc is not None
     stack_est = int(taps * _stack_factor(w_len) * by * nxp * 4)
     scratch = n_fields * n_tz * slab_ny * nxp * 4
-    out_blk = 2 * n_acc * by * nxa * 4
+    out_blk = 2 * (2 if has_acc else 1) * n_acc * by * nxa * 4
     vmem_limit = min(_VMEM_LIMIT_BYTES,
                      max(16 * 1024 * 1024,
                          stack_est + scratch + out_blk + 4 * 1024 * 1024))
     kern = functools.partial(
         _tv_kernel, hw, exponent, detect_curves, ker,
-        want_den, sparse, by, nxa, tz_lo, tz_hi)
-    n_ins = n_fields
+        want_den, sparse, has_acc, by, nxa, tz_lo, tz_hi)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_fields
+    ins = list(fields)
+    if has_acc:
+        # the running accumulator from the previous z-offset chunk,
+        # blocked like the output and ALIASED to it: the chunked
+        # accumulation is in place, with no (24 B/voxel) extra partial
+        # vote tensor in HBM and no separate XLA add pass
+        in_specs.append(pl.BlockSpec((n_acc, 1, by, nxa),
+                                     lambda i, j: (0, i, j, 0),
+                                     memory_space=pltpu.VMEM))
+        ins.append(acc)
     scratch = [pltpu.VMEM((n_tz, slab_ny, nxp), jnp.float32)] * n_fields
     scratch = scratch + [pltpu.SemaphoreType.DMA((n_fields,))]
     return pl.pallas_call(
         kern,
         grid=(nz, n_yblk),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_ins,
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((n_acc, 1, by, nxa),
                                lambda i, j: (0, i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_acc, nz, n_yblk * by, nxa),
                                        jnp.float32),
         scratch_shapes=scratch,
+        input_output_aliases=({n_fields: 0} if has_acc else {}),
         # the raised per-kernel scoped-VMEM window is what lets hw >= 3
         # compile: Mosaic's stack allocator does not reuse slots across
         # the unrolled taps (see _STACK_BUDGET_BYTES above), and the
@@ -281,7 +306,7 @@ def _tv_pallas_one_call(fields, ker, hw, exponent, detect_curves,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit),
         interpret=interpret,
-    )(*fields)
+    )(*ins)
 
 
 def _tv_pallas_padded_core(fields, out_shape, hw, ker, exponent,
@@ -333,20 +358,16 @@ def _tv_pallas_padded_core(fields, out_shape, hw, ker, exponent,
     for c in range(n_chunks):
         tz_lo = c * tz_per_call
         tz_hi = min(w_len, tz_lo + tz_per_call)
-        part = _tv_pallas_one_call(
+        # later chunks accumulate IN PLACE into the previous chunk's
+        # output (acc input aliased to the output): no partial vote
+        # tensor is ever live next to the accumulated one (the round-3
+        # HBM blowup at hw=5/384^3), no separate add pass, and the
+        # data dependence through `out` serializes the calls without
+        # an optimization_barrier
+        out = _tv_pallas_one_call(
             fields, ker, hw, exponent, detect_curves,
             want_denominator, sparse, by, n_yblk, slab_ny, nxa,
-            nz, tz_lo, tz_hi, interpret)
-        out = part if out is None else out + part
-        if c + 1 < n_chunks:
-            # chunk partials are data-independent, so XLA happily
-            # schedules ALL the pallas_calls before the adds and keeps
-            # every partial vote tensor live at once -- at hw=5/384^3
-            # that overflowed HBM by itself.  Tying the next chunk's
-            # inputs to the accumulated sum forces one-partial-at-a-
-            # time scheduling (the calls are serial on-core anyway).
-            out, *fields = jax.lax.optimization_barrier(
-                (out, *fields))
+            nz, tz_lo, tz_hi, interpret, acc=out)
 
     out = out[:, :, :ny, :nx]
     if channel_major:

@@ -45,9 +45,15 @@ def _local_conv_sliced(xp: jax.Array, kernel, axis: int, halo: int):
 
 
 def _sharded_gauss(x, kx, ky, kz, hw, z_name="z", y_name="y"):
-    """Separable blur of a local block with halo exchange; normalized
-    by the blur of the (global) all-ones box, matching the reference's
-    no-mask normalization (filter3d.hpp:1006-1040)."""
+    """Separable blur of a local block with halo exchange; the no-mask
+    edge normalization (filter3d.hpp:1006-1040) divides by the same
+    rank-1 (dz*dy)*dx 1-D denominators as the single-device path
+    (``_separable_conv3d_nomask``), computed over the GLOBAL axis
+    lengths and sliced to this block -- bit-identical to the
+    single-device result and one full blur cheaper than the round-4
+    blur-of-ones formulation."""
+    from visfd_tpu.ops.conv import _ones_denom_1d
+
     def blur(v):
         vz = halo_pad(v, hw, 0, z_name)
         vz = _local_conv_sliced(vz, kz, 0, hw)
@@ -56,8 +62,16 @@ def _sharded_gauss(x, kx, ky, kz, hw, z_name="z", y_name="y"):
         return _conv1d_axis_impl(vy, kx, 2)
 
     num = blur(x)
-    den = blur(jnp.ones_like(x))
-    return num / den
+    bz, by_, nxl = x.shape
+    dz_full = _ones_denom_1d(kz, bz * jax.lax.axis_size(z_name))
+    dy_full = _ones_denom_1d(ky, by_ * jax.lax.axis_size(y_name))
+    dx = _ones_denom_1d(kx, nxl)
+    dz = jax.lax.dynamic_slice(
+        dz_full, (jax.lax.axis_index(z_name) * bz,), (bz,))
+    dy = jax.lax.dynamic_slice(
+        dy_full, (jax.lax.axis_index(y_name) * by_,), (by_,))
+    return num / (dz[:, None, None] * dy[None, :, None]
+                  * dx[None, None, :])
 
 
 def _sharded_stencil_edge_fix(res, axis, axis_name):
@@ -119,7 +133,7 @@ def _local_gradient_hessian(blur_block, z_name="z", y_name="y"):
 def _sharded_tv(sal, nvec, tv_hw, w_t, rhat_t, off_t, exponent,
                 z_name="z", y_name="y", use_pallas=False,
                 interpret=False, tv_sigma=None,
-                tv_truncate_ratio=None):
+                tv_truncate_ratio=None, sparse=False):
     """Dense stick voting on a sharded block: halo-exchange the
     (saliency, direction) fields by the vote radius, then run either
     the hand-tuned Pallas row-streaming kernel (``use_pallas``, ~8-15x
@@ -134,7 +148,8 @@ def _sharded_tv(sal, nvec, tv_hw, w_t, rhat_t, off_t, exponent,
         from visfd_tpu.ops.tv_pallas import tv_dense_stick_pallas_prepadded
         dest, _ = tv_dense_stick_pallas_prepadded(
             sal_pad, n_pad, tv_sigma, sal.shape, exponent=exponent,
-            truncate_ratio=tv_truncate_ratio, interpret=interpret)
+            truncate_ratio=tv_truncate_ratio, interpret=interpret,
+            sparse=sparse)
         return dest
     m_pad = jnp.pad(
         halo_pad_2d(jnp.ones_like(sal), tv_hw, tv_hw, z_name, y_name),
@@ -302,6 +317,7 @@ def make_membrane_step(
     truncate_ratio: float = 2.5,
     tv_truncate_ratio: float = float(np.sqrt(2.0)),
     tv_use_pallas: Optional[bool] = None,
+    tv_sparse: bool = False,
 ):
     """Build the jitted, mesh-sharded flagship membrane step.
 
@@ -311,6 +327,10 @@ def make_membrane_step(
     ``tv_use_pallas``: run the dominant TV stage through the per-shard
     Pallas kernel (None = yes on TPU devices, no elsewhere; on non-TPU
     a forced True runs the interpreter -- correct but slow, for tests).
+    ``tv_sparse``: occupancy-gate the per-shard Pallas voting kernel
+    (the -tv-best cost lever) -- bitwise-identical output, large
+    speedup when ``saliency_threshold`` zeroes most sources; composes
+    with the mesh exactly like the CLI's sparse+mesh path.
     """
     z_name, y_name = mesh.axis_names
     platform = mesh.devices.reshape(-1)[0].platform
@@ -337,7 +357,8 @@ def make_membrane_step(
                            tv_exponent, z_name, y_name,
                            use_pallas=tv_use_pallas,
                            interpret=tv_interpret, tv_sigma=tv_sigma,
-                           tv_truncate_ratio=tv_truncate_ratio)
+                           tv_truncate_ratio=tv_truncate_ratio,
+                           sparse=tv_sparse)
         vvals, _ = sym3.diagonalize_sym3(
             sym3.flat_to_full(vote), order=sym3.EigenOrder.DECREASING,
             want_vects=False)

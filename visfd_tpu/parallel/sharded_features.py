@@ -34,6 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from visfd_tpu.ops import kernels as K
 from visfd_tpu.ops.conv import _conv1d_axis_impl, _ones_denom_1d
+from visfd_tpu.parallel.gather import to_host_np
 from visfd_tpu.parallel.halo import halo_pad, halo_pad_2d
 from visfd_tpu.parallel.sharded import _local_conv_sliced
 
@@ -318,7 +319,7 @@ def find_extrema_sharded(
     # encodings are monotonic in (z, y, x) lex order, so the min-index
     # representative is the same voxel)
     ny_p, nx_p = xp.shape[1], xp.shape[2]
-    labels = np.array(np.asarray(labels_p)[:nz, :ny])
+    labels = np.array(to_host_np(labels_p)[:nz, :ny])
     pos = labels >= 0
     L = labels[pos]
     z_ = L // (ny_p * nx_p)
@@ -329,10 +330,10 @@ def find_extrema_sharded(
 
     return E.postprocess_extrema(
         labels,
-        np.asarray(has_lt_p)[:nz, :ny],
-        np.asarray(has_gt_p)[:nz, :ny],
-        np.asarray(border_p)[:nz, :ny],
-        np.asarray(x),
+        to_host_np(has_lt_p)[:nz, :ny],
+        to_host_np(has_gt_p)[:nz, :ny],
+        to_host_np(border_p)[:nz, :ny],
+        to_host_np(x),
         **kw)
 
 
@@ -568,8 +569,8 @@ def sharded_minimax(x_np, seeds_np, mask_np, offs, mesh: Mesh):
             for a in (xp, seedp, mp, inb)]
     fn = _build_sharded_minimax(mesh, offs)
     r, lab = fn(*args)
-    return (np.asarray(r)[:nz, :ny, :nx],
-            np.asarray(lab)[:nz, :ny, :nx])
+    return (to_host_np(r)[:nz, :ny, :nx],
+            to_host_np(lab)[:nz, :ny, :nx])
 
 
 def propagate_watershed_sharded(
@@ -660,7 +661,7 @@ def propagate_watershed_sharded(
 
     offs = E.neighbor_offsets(connectivity)
     fn = _build_sharded_descend(mesh, offs)
-    parent = np.asarray(fn(xp, mp, inb)).astype(np.int64)
+    parent = to_host_np(fn(xp, mp, inb)).astype(np.int64)
 
     # host pointer collapse (log-depth rounds of vectorized gathers)
     parf = parent.reshape(-1)

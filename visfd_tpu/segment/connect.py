@@ -59,6 +59,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from visfd_tpu import native
+from visfd_tpu.parallel.gather import to_host_np
 
 from visfd_tpu.features import hessian as H
 from visfd_tpu.linalg import sym3
@@ -329,12 +330,12 @@ def label_connected(
             must_link, must_link_directions, sort_criteria, voxel_weights,
             label_undefined, report)
 
-    saliency = np.asarray(sal_j)
-    discard = np.asarray(discard_j)
+    saliency = to_host_np(sal_j)
+    discard = to_host_np(discard_j)
     if tensor_j is not None:
-        tensor = np.asarray(tensor_j)
+        tensor = to_host_np(tensor_j)
     if vector_j is not None:
-        vector = np.asarray(vector_j)
+        vector = to_host_np(vector_j)
 
     vec_std = None
     if want_vec_std:
@@ -416,7 +417,7 @@ def _flood_compact(sal_j, discard_j, mask, offs, sign, threshold_saliency,
         mvalid = jax.device_put(mvalid, sal_j.sharding)
     cand_j, counts = _candidate_mask(sal_j, mvalid, jnp.float32(t32),
                                      pred_gt)
-    n_cand = int(np.asarray(counts).astype(np.int64).sum())
+    n_cand = int(to_host_np(counts).astype(np.int64).sum())
 
     has_tensor = tensor_j is not None
     has_vector = vector_j is not None
@@ -429,13 +430,13 @@ def _flood_compact(sal_j, discard_j, mask, offs, sign, threshold_saliency,
             vector_j if has_vector else dummy,
             cap, has_tensor, has_vector)
         parts = iter(parts)
-        zyx = np.asarray(next(parts))[:n_cand].astype(np.int64)
+        zyx = to_host_np(next(parts))[:n_cand].astype(np.int64)
         idx = (zyx[:, 0] * ny + zyx[:, 1]) * nx + zyx[:, 2]
-        sal_c = np.ascontiguousarray(np.asarray(next(parts))[:n_cand])
-        disc_c = np.ascontiguousarray(np.asarray(next(parts))[:n_cand])
-        tens_c = (np.ascontiguousarray(np.asarray(next(parts))[:n_cand])
+        sal_c = np.ascontiguousarray(to_host_np(next(parts))[:n_cand])
+        disc_c = np.ascontiguousarray(to_host_np(next(parts))[:n_cand])
+        tens_c = (np.ascontiguousarray(to_host_np(next(parts))[:n_cand])
                   if has_tensor else None)
-        vec_c = (np.ascontiguousarray(np.asarray(next(parts))[:n_cand])
+        vec_c = (np.ascontiguousarray(to_host_np(next(parts))[:n_cand])
                  if has_vector else None)
     else:
         idx = np.zeros(0, np.int64)
@@ -520,7 +521,8 @@ def _flood_compact(sal_j, discard_j, mask, offs, sign, threshold_saliency,
     if want_vec_std:
         # dense standardized vectors: input signs everywhere, flood-
         # standardized signs at candidates (assigned voxels included)
-        vec_std = np.array(vector_j, np.float32, copy=True, order="C")
+        vec_std = np.array(to_host_np(vector_j), np.float32, copy=True,
+                           order="C")
         vec_std.reshape(-1, 3)[idx] = vec_std_c
     return labels, basin2cluster, cluster2basins, basin2polarity, vec_std
 

@@ -43,6 +43,40 @@ class Report:
         self.write(msg + "\n")
 
 
+# ---------------------------------------------------------------------------
+# Execution-path telemetry: which implementation served each stage.
+#
+# The CLI's Pallas kernels carry try/except fallbacks to the XLA
+# formulations (a correctness net for Mosaic compile limits), but a
+# silent fallback costs 6-15x (PERF.md) -- operators must be able to
+# SEE which path ran.  Each dispatch site records (stage -> path) here
+# and the drivers print one structured summary line; tests assert that
+# no "*fallback*" path fired where the fast path is expected.
+
+_stage_paths: dict = {}
+
+
+def record_path(stage_name: str, path: str) -> None:
+    """Record which implementation served ``stage_name`` (e.g.
+    ``"tv": "pallas-sharded-sparse"`` or ``"tv": "xla-fallback"``)."""
+    _stage_paths[stage_name] = path
+
+
+def stage_paths() -> dict:
+    return dict(_stage_paths)
+
+
+def reset_paths() -> None:
+    _stage_paths.clear()
+
+
+def format_paths() -> str:
+    """One grep-able summary line, e.g.
+    ``stage paths: hessian_eigen=pallas-fused tv=pallas-sparse``."""
+    body = " ".join(f"{k}={v}" for k, v in _stage_paths.items())
+    return f"stage paths: {body}" if body else "stage paths: (none)"
+
+
 @contextlib.contextmanager
 def stage(name: str, report: Optional[Report] = None):
     """Time a pipeline stage; records into ``report.timings``."""
