@@ -118,3 +118,17 @@ def test_trace_product_quirk_formula():
     want = (2 * 1 * 0.5 + 1 * -1 + 2 * 0.5 + 2 * -1 + 2 * 2 + 3 * -1
             + 2 * 3 * 2)
     assert trace_product_sym3_quirk(a, b) == want
+
+
+def test_connect_no_seeds_with_vector_standardization(rng):
+    """Regression (round 5): threshold above every saliency -> zero
+    basins; the polarity application indexed an EMPTY basin2polarity
+    (IndexError) when standardized vectors were requested."""
+    x = rng.normal(size=(6, 7, 8)).astype(np.float32)
+    v = rng.normal(size=(6, 7, 8, 3)).astype(np.float32)
+    res = label_connected(
+        x, threshold_saliency=1e30, vector=v,
+        consider_dot_product_sign=False, standardize_vector_sign=True,
+        start_from_saliency_maxima=True)
+    assert res.num_clusters == 0
+    assert np.all(res.labels == -1)

@@ -173,3 +173,46 @@ def test_soft_sphere_structure_element():
     offs2, bs2 = M.sphere_structure_element(2.0, bmax=1.0)
     assert (bs2 <= 0).all() and (bs2 >= -1.0).all()
     assert len(offs2) > 0
+
+
+@pytest.mark.parametrize("connectivity", [1, 3])
+def test_extrema_hybrid_plateau_path_matches_full(rng, connectivity):
+    """Round-5 fast path: a float field with a FEW injected plateaus
+    must take the compaction + host-union-find branch (n_same small)
+    and agree exactly with the full-volume label-propagation path and
+    the brute BFS."""
+    from visfd_tpu.segment import extrema as E
+    x = rng.normal(size=(16, 16, 16)).astype(np.float32)
+    # inject small plateaus: an L-shaped triple (local max), a pair,
+    # and a flat pair that is NOT an extremum
+    x[2, 3, 4] = x[2, 3, 5] = x[2, 4, 4] = 50.0
+    x[7, 7, 7] = x[7, 7, 8] = -50.0
+    x[5, 2, 2] = x[5, 2, 3] = 0.25
+    x[5, 2, 1] = 60.0  # a higher neighbor kills that plateau
+
+    offs = E.neighbor_offsets(connectivity)
+    _, _, _, _, cnts = E._extrema_flags(jnp.asarray(x), None, offs)
+    n_same = int(np.asarray(cnts).sum())
+    assert 0 < n_same * len(offs) <= x.size // 8  # hybrid branch taken
+
+    res = find_extrema(x, connectivity=connectivity)
+    # full-volume reference path
+    labels, hl, hg, bd = E._extrema_device(jnp.asarray(x), None, offs)
+    ref = E.postprocess_extrema(np.asarray(labels), np.asarray(hl),
+                                np.asarray(hg), np.asarray(bd), x)
+    np.testing.assert_array_equal(res.minima_indices, ref.minima_indices)
+    np.testing.assert_array_equal(res.maxima_indices, ref.maxima_indices)
+    np.testing.assert_array_equal(res.minima_scores, ref.minima_scores)
+    np.testing.assert_array_equal(res.maxima_scores, ref.maxima_scores)
+    np.testing.assert_array_equal(res.minima_nvoxels, ref.minima_nvoxels)
+    np.testing.assert_array_equal(res.maxima_nvoxels, ref.maxima_nvoxels)
+    np.testing.assert_array_equal(res.label_image, ref.label_image)
+
+    bmin, bmax = brute_extrema(x, connectivity)
+    assert len(res.maxima_indices) == len(bmax)
+    assert len(res.minima_indices) == len(bmin)
+    # the injected plateau maxima/minima appear with their sizes
+    sizes = dict(zip(res.maxima_indices, res.maxima_nvoxels))
+    nz, ny, nx = x.shape
+    l_idx = 4 + nx * (3 + ny * 2)
+    assert sizes[l_idx] == 3

@@ -9,7 +9,7 @@ on the same synthetic volume and flag set as perf_report's e2e stage:
 
     filter_mrc -w 1 -bin 1 -in vol.rec -out out.rec \
         -membrane minima 3.4641016 -tv 2.2 -tv-angle-exponent 4 \
-        [-connect 1e+09]
+        [-connect 1e-30]
 
 Phases are separated by differencing (e2e run minus no-connect run ~=
 the serial connect flood), because the reference prints no timings.
@@ -72,7 +72,7 @@ def main():
             return dt
 
         dt_mem = run(base)
-        dt_e2e = run(base + ["-connect", "1e+09"])
+        dt_e2e = run(base + ["-connect", "1e-30"])
         connect_part = max(0.0, dt_e2e - dt_mem)
         dt16 = dt_mem / (16 / cfg.threads) + connect_part
         out[str(n)] = {

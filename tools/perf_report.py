@@ -687,7 +687,10 @@ def main():
                     "-membrane", "minima", "3.4641016",
                     "-tv", "2.2",      # tv_sigma 2.2 vox -> hw=3
                     "-tv-angle-exponent", "4",
-                    "-connect", "1e+09"]
+                    # tiny positive threshold: every -tv-best survivor
+                    # is a candidate, so the flood does real work on
+                    # this synthetic volume (1e9 yielded 0 seeds)
+                    "-connect", "1e-30"]
             from visfd_tpu.cli import filter_mrc as FM
             t0 = time.time()
             rc = FM.run(args)    # includes compile on first run
@@ -776,6 +779,67 @@ def main():
         "",
         "## Formulation bake-off decisions",
         "",
+        "- **Round-5 roofline closure for the fused eigen kernels**",
+        "  (VERDICT r4 #3): sym3_score_fused's 1.0 Gvox/s / 3% SoL was",
+        "  a MEASUREMENT artifact -- a 128^3 chained-dispatch config;",
+        "  at 384^3 the same kernel runs ~6.1 Gvox/s (171 GB/s = 21%",
+        "  HBM SoL, 0.94 TFLOP/s = 25% VPU with the counted 155",
+        "  solver ops/voxel -- mixed VMEM-traffic/VPU bound, like the",
+        "  blur).  A y-block bake-off (tools/bakeoff_eig_by.py, caps",
+        "  64/128/256) confirmed the existing by<=64 blocking is the",
+        "  fastest for both fused kernels.  hessian_eig_fused: 2.8",
+        "  Gvox/s, 18% VPU at 251 ops/voxel; its binding resource is",
+        "  VMEM traffic of the 5 in/out channels + solver stack",
+        "  spills, not HBM.  Non-TV stages are ~23% of flagship_512",
+        "  (harmonic: blur 8.9G + hess_eig 2.8G + score 6.1G = 1.5G",
+        "  combined vs TV 0.46G).",
+        "- **Sparse (-tv-best) occupancy sweep at 384^3** (VERDICT r4",
+        "  #2): vs the 455.6 Mvox/s dense kernel on the same field,",
+        "  the occupancy-gated kernel reaches 3.8x at 5% PLANE-coherent",
+        "  occupancy (1736 Mvox/s), 4.9x at 1%, 5.4x at 0.26%; on",
+        "  UNIFORM-RANDOM 5% occupancy it is 0.94x -- no (slab_ny x X)",
+        "  source row is empty, so nothing can be gated.  This is the",
+        "  fundamental shape of the lever on a vector machine: the",
+        "  reference's per-voxel skip (feature.hpp:1704-1709) degrades",
+        "  the same way per SIMD-lane-group.  Real -tv-best saliency",
+        "  (top-fraction threshold of a membrane score) is a surface",
+        "  -- the coherent row.  The ~2.4 Gvox/s sparse ceiling is the",
+        "  unconditional saliency-slab DMA (~68 GB/s) that computes",
+        "  the occupancy scalars; gating that DMA behind an",
+        "  XLA-precomputed occupancy grid faulted the TPU worker in",
+        "  round 4 (Mosaic input-DMA-under-conditional miscompile)",
+        "  and was not retried.",
+        "- **Segmentation tail at scale** (round 5, VERDICT r4 #4):",
+        "  measured at 384^3 on a smooth sigma=6 field.  find_extrema",
+        "  was 77 s/call through the remote tunnel -- 44 s of it",
+        "  transferring four full volumes, 18 s full-volume label",
+        "  propagation; the round-5 fast path (device compaction of",
+        "  singleton extrema + host union-find over the RARE",
+        "  equal-valued-neighbor voxels) runs the same query in 1.5 s.",
+        "  label_connected: 162 -> 25 s gateless (upload ~11 s of it;",
+        "  native flood 5.7 s vs the 2-core C++ reference's 13.2 s",
+        "  total), 87 s with the flagship tensor+vector gates",
+        "  (compact-candidate path, now the DEFAULT: 2x over the dense",
+        "  flood, which pays ~100 s of dense tensor/vector downloads).",
+        "  Host Meyer watershed is flood-bound at 111 s -- parity with",
+        "  the reference's serial flood (106 s, same volume); the",
+        "  device watershed (-watershed-device) does it in 58 s and is",
+        "  the scale path.  The cli_e2e row is an ADVERSARIAL config",
+        "  (threshold 1e-30 on noise -> 260k clusters): end-to-end it",
+        "  is serial-flood + host-finalize bound on BOTH",
+        "  implementations (reference: 322 s at 2 threads, 94.7 s",
+        "  16-thread-extrapolated with its serial 62 s connect; ours",
+        "  ~250-390 s of which ~2.2 GB of tunnel transfers cost ~100 s",
+        "  that a local-PCIe TPU host would not pay).  On realistic",
+        "  detection workloads the tail is thousands of clusters, the",
+        "  flood is seconds, and e2e tracks the 25-50x device stages.",
+        "- **In-place z-offset-chunk accumulation** (round 5): later",
+        "  TV chunks alias their running accumulator into the output",
+        "  (input_output_aliases), deleting the 24 B/voxel chunk",
+        "  partial from the HBM peak and the XLA add pass.  Capacity",
+        "  anchors moved from 512^3-runs/576^3-OOM to 640^3-runs",
+        "  (372 Mvox/s); 704^3 fails in the remote-compile helper",
+        "  (tunnel-side), so 640^3 is the proven single-chip ceiling.",
         "- **The fused Pallas eigen kernels are the default single-",
         "  device TPU path for the flagship CLI** (round 4,",
         "  ops/eigen_pallas.py): FD Hessian + principal eigensolve +",

@@ -985,6 +985,10 @@ def handle_tv(s, img, x_np, mask_np, w):
             must_link_directions=s.must_link_directions or None,
             start_from_saliency_maxima=True,
             mesh=_cli_mesh(s),
+            # the dense standardized direction field is only consumed
+            # by the PLY writer; skipping it avoids a full-volume
+            # download when -normals-file was not requested
+            want_dense_vectors=bool(s.out_normals_fname),
             report=sys.stderr)
         if res.vector_standardized is not None:
             direction_np = res.vector_standardized

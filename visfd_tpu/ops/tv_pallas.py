@@ -267,6 +267,12 @@ def _tv_pallas_one_call(fields, ker, hw, exponent, detect_curves,
     # undershot the measured 23.5 MB stack and failed the compile
     has_acc = acc is not None
     stack_est = int(taps * _stack_factor(w_len) * by * nxp * 4)
+    if has_acc:
+        # initializing the accumulators from the aliased acc block
+        # keeps extra values live across the unrolled taps: measured
+        # +13% stack on v5e (49.3 vs 43.6 MB at hw=5/64^3); 1.3x
+        # envelope
+        stack_est = int(stack_est * 1.3)
     scratch = n_fields * n_tz * slab_ny * nxp * 4
     out_blk = 2 * (2 if has_acc else 1) * n_acc * by * nxa * 4
     vmem_limit = min(_VMEM_LIMIT_BYTES,
@@ -448,6 +454,40 @@ def tv_dense_stick_pallas_prepadded(
         sparse=bool(sparse), channel_major=bool(channel_major))
 
 
+@functools.lru_cache(maxsize=64)
+def _tv_dense_stick_jitted(sigma, exponent, has_mask, detect_curves,
+                           truncate_ratio, want_denominator, interpret,
+                           sparse, channel_major, nv_cm):
+    """One jitted program per static TV configuration.  Without this,
+    every CLI call re-traced the pad + chunked pallas_call composition
+    EAGERLY -- measured 19 s/call of pure dispatch overhead at 384^3
+    through the remote tunnel vs 0.2 s for the jitted kernel."""
+    hw = int(np.floor(sigma * truncate_ratio))
+    ker = K.gen_gauss_kernel_3d((sigma,) * 3, 2.0, (hw,) * 3)
+
+    def fn(saliency, nvec, mask_src):
+        nz, ny, nx = saliency.shape
+        sal = jnp.asarray(saliency, jnp.float32)
+        if has_mask:
+            m = jnp.asarray(mask_src, jnp.float32)
+            sal_eff = sal * m
+            md = m * 1.0
+        else:
+            sal_eff = sal
+            md = jnp.ones_like(sal)
+        n_fields = 5 if want_denominator else 4
+        pad = [(hw, hw)] * 3
+        nv = _split_nvec(nvec, sal.shape, nv_cm)
+        fields = [jnp.pad(f, pad) for f in
+                  ([sal_eff, nv[0], nv[1], nv[2], md][:n_fields])]
+        return _tv_pallas_padded_core(
+            fields, (nz, ny, nx), hw, ker, exponent,
+            detect_curves, want_denominator, interpret,
+            sparse=sparse, channel_major=channel_major)
+
+    return jax.jit(fn)
+
+
 def tv_dense_stick_pallas(
     saliency: jax.Array,          # (Z, Y, X) float32
     nvec: jax.Array,              # (Z, Y, X, 3) or (3, Z, Y, X)
@@ -468,25 +508,16 @@ def tv_dense_stick_pallas(
     (tz, ty) tap groups on per-row source occupancy (pl.when) --
     equal to the dense kernel to the last ulp, large speedup when most
     saliencies are zero (-tv-best)."""
-    nz, ny, nx = saliency.shape
-    hw = int(np.floor(sigma * truncate_ratio))
-    ker = K.gen_gauss_kernel_3d((sigma,) * 3, 2.0, (hw,) * 3)
-
-    sal = jnp.asarray(saliency, jnp.float32)
-    if mask_src is not None:
-        m = jnp.asarray(mask_src, jnp.float32)
-        sal_eff = sal * m
-        md = m * 1.0
-    else:
-        sal_eff = sal
-        md = jnp.ones_like(sal)
-
-    n_fields = 5 if want_denominator else 4
-    pad = [(hw, hw)] * 3
-    nv = _split_nvec(nvec, sal.shape, nvec_channel_major)
-    fields = [jnp.pad(f, pad) for f in
-              ([sal_eff, nv[0], nv[1], nv[2], md][:n_fields])]
-    return _tv_pallas_padded_core(
-        fields, (nz, ny, nx), hw, ker, int(exponent),
-        bool(detect_curves), bool(want_denominator), interpret,
-        sparse=bool(sparse), channel_major=bool(channel_major))
+    # resolve the nvec layout OUTSIDE the jit (it is a static property)
+    nv_cm = nvec_channel_major
+    if nv_cm is None:
+        _split_nvec(nvec, saliency.shape, None)  # raise on ambiguity
+        nv_cm = nvec.ndim == 4 and nvec.shape[0] == 3 \
+            and tuple(nvec.shape[1:]) == tuple(saliency.shape)
+    fn = _tv_dense_stick_jitted(
+        float(sigma), int(exponent), mask_src is not None,
+        bool(detect_curves), float(truncate_ratio),
+        bool(want_denominator), bool(interpret), bool(sparse),
+        bool(channel_major), bool(nv_cm))
+    dummy = saliency if mask_src is None else mask_src
+    return fn(saliency, nvec, dummy)

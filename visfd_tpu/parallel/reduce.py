@@ -154,8 +154,8 @@ def kth_largest(
     return fn(xp, mp, jnp.asarray(k, jnp.int32))
 
 
-def count_valid(x: jax.Array, mesh: Mesh,
-                mask: Optional[jax.Array] = None) -> int:
+@functools.lru_cache(maxsize=None)
+def _build_count_valid(mesh: Mesh):
     zn, yn = mesh.axis_names
     spec = P(zn, yn)
 
@@ -163,8 +163,15 @@ def count_valid(x: jax.Array, mesh: Mesh,
         c = jnp.sum((mb != 0).astype(jnp.int32))
         return jax.lax.psum(jax.lax.psum(c, zn), yn)
 
-    fn = jax.jit(shard_map(local, mesh=mesh, in_specs=(spec,),
-                           out_specs=P(), check_vma=False))
+    # cached per mesh: building a fresh jit object per call would pay
+    # a fresh trace + remote compile on every CLI invocation
+    return jax.jit(shard_map(local, mesh=mesh, in_specs=(spec,),
+                             out_specs=P(), check_vma=False))
+
+
+def count_valid(x: jax.Array, mesh: Mesh,
+                mask: Optional[jax.Array] = None) -> int:
+    fn = _build_count_valid(mesh)
     m = jnp.ones_like(x) if mask is None else jnp.asarray(mask, jnp.float32)
     _, mp = _pad_to_mesh(jnp.asarray(x, jnp.float32), m, mesh)
     return int(fn(mp))

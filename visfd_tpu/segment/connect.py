@@ -232,16 +232,25 @@ def label_connected(
     start_from_saliency_maxima: bool = True,
     mesh=None,
     compact: Optional[bool] = None,
+    want_dense_vectors: bool = True,
     report=None,
 ) -> ConnectResult:
     """``mesh``: an optional ``jax.sharding.Mesh``; the device
     precompute (gates, seeds, candidate compaction) then runs
     block-sharded over it.  ``compact``: run the scale path (see module
-    docstring); defaults to True when a mesh is given.  ``saliency``,
-    ``tensor``, and ``vector`` may be jax arrays (possibly already
+    docstring); round 5 made it the DEFAULT everywhere (only candidate
+    lists cross the device boundary -- at 384^3 the dense path's
+    tensor+vector downloads alone cost ~100 s through the remote
+    tunnel); pass False to force the dense flood.
+    ``want_dense_vectors``: materialize ``vector_standardized`` as a
+    full (Z, Y, X, 3) field (the PLY writer needs it); False skips the
+    dense reconstruction and the full-volume polarity/orientation
+    passes while keeping the flood's in-flood standardization -- labels
+    and cluster statistics are identical.  ``saliency``, ``tensor``,
+    and ``vector`` may be jax arrays (possibly already
     device-resident/sharded) or numpy."""
     if compact is None:
-        compact = mesh is not None
+        compact = True
     nz, ny, nx = saliency.shape
     shape = (nz, ny, nx)
     valid = None if mask is None else (np.asarray(mask) != 0)
@@ -273,8 +282,9 @@ def label_connected(
                 vector_j, NamedSharding(mesh, P(zn, yn, None, None)))
 
     # ---- device precompute: saliency Hessian + per-voxel gates ----
+    has_gates = tensor is not None or vector is not None
     dummy = jnp.zeros((1,), jnp.float32)
-    if tensor_j is not None or vector_j is not None:
+    if has_gates:
         discard_j = _discard_gates_device(
             sal_j,
             tensor_j if tensor_j is not None else dummy,
@@ -318,24 +328,39 @@ def label_connected(
                     and not consider_dot_product_sign)
 
     if compact:
+        # must-link merge/flip decisions sample the dense standardized
+        # field at arbitrary voxels, so they force the reconstruction
+        want_dense = bool(want_dense_vectors
+                          or (must_link and want_vec_std))
         (labels, basin2cluster, cluster2basins, basin2polarity,
          vec_std) = _flood_compact(
             sal_j, discard_j, mask, offs, sign, threshold_saliency,
             tensor_j, vector_j, threshold_tensor_neighbor,
             threshold_vector_neighbor, consider_dot_product_sign,
-            want_vec_std, seed_locs, seed_scores, n_basins, shape)
+            want_vec_std, seed_locs, seed_scores, n_basins, shape,
+            want_dense)
         return _finalize_connect(
             seed_scores, valid, labels, n_basins, UNDEF, basin2cluster,
             cluster2basins, basin2polarity, vec_std, seed_locs, mask,
             must_link, must_link_directions, sort_criteria, voxel_weights,
             label_undefined, report)
 
-    saliency = to_host_np(sal_j)
-    discard = to_host_np(discard_j)
-    if tensor_j is not None:
-        tensor = to_host_np(tensor_j)
-    if vector_j is not None:
-        vector = to_host_np(vector_j)
+    # host copies for the flood: reuse arrays the caller already gave
+    # us as numpy instead of round-tripping them through the device
+    # (at 384^3 the saliency re-download alone is ~11 s through the
+    # remote tunnel), and skip materializing the all-False discard
+    # mask when no gates were requested
+    saliency = (np.asarray(saliency, np.float32)
+                if isinstance(saliency, np.ndarray)
+                else to_host_np(sal_j))
+    discard = (np.zeros(shape, bool) if not has_gates
+               else to_host_np(discard_j))
+    if tensor is not None:
+        tensor = (np.asarray(tensor) if isinstance(tensor, np.ndarray)
+                  else to_host_np(tensor_j))
+    if vector is not None:
+        vector = (np.asarray(vector) if isinstance(vector, np.ndarray)
+                  else to_host_np(vector_j))
 
     vec_std = None
     if want_vec_std:
@@ -404,7 +429,8 @@ def label_connected(
 def _flood_compact(sal_j, discard_j, mask, offs, sign, threshold_saliency,
                    tensor_j, vector_j, threshold_tensor_neighbor,
                    threshold_vector_neighbor, consider_sign,
-                   want_vec_std, seed_locs, seed_scores, n_basins, shape):
+                   want_vec_std, seed_locs, seed_scores, n_basins, shape,
+                   want_dense_vectors=True):
     """Compact-candidate flood: device-side candidate extraction, host
     flood over the compacted set (native ``visfd_connect_flood_compact``
     or, without a compiler, scatter-to-dense + the Python flood)."""
@@ -518,9 +544,11 @@ def _flood_compact(sal_j, discard_j, mask, offs, sign, threshold_saliency,
             vec_std_c = vs_d.reshape(-1, 3)[idx]
 
     vec_std = None
-    if want_vec_std:
+    if want_vec_std and want_dense_vectors:
         # dense standardized vectors: input signs everywhere, flood-
-        # standardized signs at candidates (assigned voxels included)
+        # standardized signs at candidates (assigned voxels included).
+        # Skipped when the caller has no consumer for the dense field
+        # (the reconstruction downloads the full direction volume).
         vec_std = np.array(to_host_np(vector_j), np.float32, copy=True,
                            order="C")
         vec_std.reshape(-1, 3)[idx] = vec_std_c
@@ -721,7 +749,7 @@ def _finalize_connect(seed_values, valid, labels, n_basins, UNDEF,
 
     # ---- apply per-basin polarity to standardized vectors ----
     in_basin = labels < n_basins
-    if vec_std is not None:
+    if vec_std is not None and n_basins > 0:
         pol = basin2polarity[np.clip(labels, 0, max(n_basins - 1, 0))]
         vec_std = np.where(in_basin[..., None],
                            vec_std * pol[..., None].astype(np.float32),

@@ -121,6 +121,122 @@ def _extrema_device(x, mask, offsets):
     return labels, has_lt & valid, has_gt & valid, border & valid
 
 
+@functools.partial(jax.jit, static_argnames=("offsets",))
+def _extrema_flags(x, mask, offsets):
+    """Per-voxel neighbor flags ONLY (no plateau labels): has_lt /
+    has_gt / touches_border / has_same_neighbor, plus per-z-plane int32
+    counts of same-valued neighbor pairs.  When that count is ZERO
+    (the typical smooth-float-field case at scale) every plateau is a
+    singleton and ``find_extrema`` takes the compaction fast path --
+    no full-volume label propagation, no full-volume host transfer."""
+    valid = jnp.ones(x.shape, bool) if mask is None else (mask != 0)
+    has_lt = jnp.zeros(x.shape, bool)
+    has_gt = jnp.zeros(x.shape, bool)
+    border = jnp.zeros(x.shape, bool)
+    has_same = jnp.zeros(x.shape, bool)
+    for off in offsets:
+        nv = _shift_int(x, off, np.nan)
+        nvalid = _shift_int(valid.astype(jnp.int32), off, 0) > 0
+        in_bounds = ~jnp.isnan(_shift_int(jnp.zeros_like(x), off, np.nan))
+        usable = nvalid & in_bounds
+        border = border | ~usable
+        has_lt = has_lt | (usable & (nv < x))
+        has_gt = has_gt | (usable & (nv > x))
+        has_same = has_same | (usable & (nv == x))
+    has_same = has_same & valid
+    return (has_lt & valid, has_gt & valid, border & valid, has_same,
+            jnp.sum(has_same, axis=(1, 2), dtype=jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "allow_borders"))
+def _extrema_counts(x, mask, has_lt, has_gt, border, has_same, thr,
+                    kind, allow_borders):
+    """Candidate mask for SINGLETON extrema (plateau voxels are
+    excluded; they go through the compacted host union-find)."""
+    valid = jnp.ones(x.shape, bool) if mask is None else (mask != 0)
+    if kind == "min":
+        cand = valid & ~has_lt & (x <= thr)
+    else:
+        cand = valid & ~has_gt & (x >= thr)
+    cand = cand & ~has_same
+    if not allow_borders:
+        cand = cand & ~border
+    return cand, jnp.sum(cand, axis=(1, 2), dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def _extrema_compact(cand, x, capacity):
+    z, y, xx = jnp.nonzero(cand, size=capacity, fill_value=0)
+    return (jnp.stack([z, y, xx], -1).astype(jnp.int32),
+            x[z, y, xx])
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "capacity"))
+def _plateau_gather(x, mask, has_lt, has_gt, border, has_same,
+                    capacity, offsets):
+    """Compact the (rare) plateau voxels: coordinates, values,
+    per-voxel flags, and a per-offset equal-neighbor bitmap -- the
+    host rebuilds the plateau components with a union-find over this
+    tiny set (reference BFS semantics, morphology_implementation.hpp
+    225-340), never touching the full volume."""
+    nz, ny, nx = x.shape
+    valid = jnp.ones(x.shape, bool) if mask is None else (mask != 0)
+    z, y, xx = jnp.nonzero(has_same, size=capacity, fill_value=0)
+    vals = x[z, y, xx]
+    sames = []
+    for dz, dy, dx in offsets:
+        z2, y2, x2 = z + dz, y + dy, xx + dx
+        inb = ((z2 >= 0) & (z2 < nz) & (y2 >= 0) & (y2 < ny)
+               & (x2 >= 0) & (x2 < nx))
+        z2c = jnp.clip(z2, 0, nz - 1)
+        y2c = jnp.clip(y2, 0, ny - 1)
+        x2c = jnp.clip(x2, 0, nx - 1)
+        sames.append(inb & valid[z2c, y2c, x2c]
+                     & (x[z2c, y2c, x2c] == vals))
+    return (jnp.stack([z, y, xx], -1).astype(jnp.int32), vals,
+            has_lt[z, y, xx], has_gt[z, y, xx], border[z, y, xx],
+            jnp.stack(sames, -1))
+
+
+def _plateau_reduce(zyx, vals, p_lt, p_gt, p_bd, same_mat, offsets,
+                    shape):
+    """Host union-find over the compacted plateau voxels.  Returns
+    (root_idx, root_val, size, has_lt, has_gt, border) per plateau,
+    root = min flat index (the reference's raster-first
+    representative)."""
+    nz, ny, nx = shape
+    idx = (zyx[:, 0].astype(np.int64) * ny
+           + zyx[:, 1]) * nx + zyx[:, 2]
+    pos = {int(i): k for k, i in enumerate(idx)}
+    parent = list(range(len(idx)))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    strides = [((dz * ny) + dy) * nx + dx for dz, dy, dx in offsets]
+    for k in range(len(idx)):
+        for o, s in enumerate(strides):
+            if same_mat[k, o]:
+                j = pos.get(int(idx[k]) + s)
+                if j is not None:
+                    ra, rb = find(k), find(j)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    groups = {}
+    for k in range(len(idx)):
+        groups.setdefault(find(k), []).append(k)
+    out = []
+    for members in groups.values():
+        mi = np.asarray(members)
+        out.append((int(idx[mi].min()), float(vals[mi[0]]), len(mi),
+                    bool(p_lt[mi].any()), bool(p_gt[mi].any()),
+                    bool(p_bd[mi].any()), idx[mi]))
+    return out
+
+
 @dataclasses.dataclass
 class ExtremaResult:
     minima_indices: np.ndarray   # flat indices ix + nx*(iy + ny*iz)
@@ -149,9 +265,106 @@ def find_extrema(
 ) -> ExtremaResult:
     """Find plateau extrema; see module docstring. ``x`` is (Z, Y, X)."""
     x = jnp.asarray(x, jnp.float32)
+    m = None if mask is None else jnp.asarray(mask, jnp.float32)
     offs = neighbor_offsets(connectivity)
-    labels, has_lt, has_gt, border = _extrema_device(
-        x, None if mask is None else jnp.asarray(mask, jnp.float32), offs)
+
+    # Fast path (round 5): singleton extrema compact on device and
+    # only (idx, score) lists cross the wire; the RARE voxels with an
+    # equal-valued neighbor (plateaus) also compact, and the host
+    # rebuilds their components with a union-find over that tiny set.
+    # At 384^3 this replaces a 390 MB 4-volume transfer + full-volume
+    # label propagation (~77 s through the remote tunnel) with ~1 s of
+    # flag passes.  Identical results to the full-volume path (same
+    # tests, same raster/tie ordering); when plateau voxels are NOT
+    # rare (e.g. integer-valued images with flat backgrounds) the
+    # link set would rival the volume, so fall back to the full-volume
+    # propagation below.
+    has_lt, has_gt, border, has_same, same_counts = _extrema_flags(
+        x, m, offs)
+    n_same = int(np.asarray(same_counts).astype(np.int64).sum())
+    if n_same * max(len(offs), 1) <= x.size // 8:
+        nz, ny, nx = x.shape
+        n = x.size
+
+        plateaus = []
+        if n_same:
+            cap_p = min(1 << max(6, int(np.ceil(np.log2(n_same)))), n)
+            pz, pv, pl, pg, pb, ps = _plateau_gather(
+                x, m, has_lt, has_gt, border, has_same, cap_p, offs)
+            plateaus = _plateau_reduce(
+                np.asarray(pz)[:n_same], np.asarray(pv)[:n_same],
+                np.asarray(pl)[:n_same], np.asarray(pg)[:n_same],
+                np.asarray(pb)[:n_same], np.asarray(ps)[:n_same],
+                offs, x.shape)
+
+        def compact(kind, thr):
+            cand, counts = _extrema_counts(
+                x, m, has_lt, has_gt, border, has_same,
+                jnp.float32(thr), kind, bool(allow_borders))
+            cnt = int(np.asarray(counts).astype(np.int64).sum())
+            if cnt == 0:
+                idx = np.zeros(0, np.int64)
+                sc = np.zeros(0, np.float32)
+                nv = np.zeros(0, np.int64)
+            else:
+                cap = min(1 << max(6, int(np.ceil(np.log2(cnt)))), n)
+                zyx, scj = _extrema_compact(cand, x, cap)
+                zyx = np.asarray(zyx)[:cnt].astype(np.int64)
+                idx = (zyx[:, 0] * ny + zyx[:, 1]) * nx + zyx[:, 2]
+                sc = np.asarray(scj)[:cnt]
+                nv = np.ones(cnt, np.int64)
+            # merge plateau extrema of this kind, keeping raster order
+            # (the full path enumerates roots in ascending-index order)
+            p_sel = []
+            for (ridx, rval, size, p_lt, p_gt, p_bd, members) in plateaus:
+                is_ext = (not p_lt) if kind == "min" else (not p_gt)
+                if not allow_borders and p_bd:
+                    is_ext = False
+                ok_thr = (rval <= thr) if kind == "min" else (rval >= thr)
+                if is_ext and ok_thr:
+                    p_sel.append((ridx, rval, size, members))
+            if p_sel:
+                idx = np.concatenate([idx,
+                                      [p[0] for p in p_sel]]).astype(
+                                          np.int64)
+                sc = np.concatenate([sc, np.asarray(
+                    [p[1] for p in p_sel], np.float32)])
+                nv = np.concatenate([nv, np.asarray(
+                    [p[2] for p in p_sel], np.int64)])
+                order = np.argsort(idx, kind="stable")
+                idx, sc, nv = idx[order], sc[order], nv[order]
+            return idx, sc, nv
+
+        member_map = {p[0]: p[6] for p in plateaus}
+        zero_i = np.zeros(0, np.int64)
+        zero_f = np.zeros(0, np.float32)
+        min_idx, min_sc, min_nv = (zero_i, zero_f, zero_i)
+        max_idx, max_sc, max_nv = (zero_i, zero_f, zero_i)
+        if find_minima:
+            idx, sc, nv = compact("min", minima_threshold)
+            perm = np.lexsort((np.arange(len(idx)), sc))
+            min_idx, min_sc, min_nv = idx[perm], sc[perm], nv[perm]
+        if find_maxima:
+            idx, sc, nv = compact("max", maxima_threshold)
+            perm = np.lexsort((-np.arange(len(idx)), -sc))
+            max_idx, max_sc, max_nv = idx[perm], sc[perm], nv[perm]
+        label_image = None
+        if want_label_image:
+            flat = np.zeros(n, np.int64)
+            for rank, ridx in enumerate(min_idx):
+                flat[member_map.get(int(ridx), [ridx])] = -(rank + 1)
+            for rank, ridx in enumerate(max_idx):
+                flat[member_map.get(int(ridx), [ridx])] = rank + 1
+            label_image = flat.reshape(x.shape)
+            if not (find_minima and find_maxima):
+                label_image = np.abs(label_image)
+        return ExtremaResult(
+            minima_indices=min_idx, minima_scores=min_sc,
+            minima_nvoxels=min_nv,
+            maxima_indices=max_idx, maxima_scores=max_sc,
+            maxima_nvoxels=max_nv, label_image=label_image)
+
+    labels, has_lt, has_gt, border = _extrema_device(x, m, offs)
     return postprocess_extrema(
         np.asarray(labels), np.asarray(has_lt), np.asarray(has_gt),
         np.asarray(border), np.asarray(x),
