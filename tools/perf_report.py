@@ -625,6 +625,95 @@ def main():
                     f"extremum + device compaction, {n_b}^3, "
                     f"{len(mins)}+{len(maxs)} blobs")
 
+    # ---- 4d. flagship with the DEFAULT sparse TV (-tv-best 0.05) ----
+    # the capacity rows time the dense kernel; the CLI default keeps
+    # the top 5% of saliencies and runs the occupancy-gated kernel, so
+    # this row is what a default `-membrane -tv` invocation actually
+    # sustains per chip (threshold computed once, like the CLI)
+    if want("fsparse"):
+        from visfd_tpu.ops.blur_pallas import blur3_pallas
+        from visfd_tpu.ops.eigen_pallas import (
+            hessian_principal_pallas as _hpf, sym3_score_pallas as _spf)
+        from visfd_tpu.ops.tv_pallas import (
+            tv_dense_stick_pallas as _tvf)
+        from visfd_tpu.parallel.reduce import fraction_threshold
+        n_f = 512
+        sigma_f = 2.0
+        hw_f = int(np.floor(sigma_f * 2.5))
+        k1_f = jnp.asarray(K.gauss_kernel_1d(sigma_f, hw_f))
+        tv_sigma_f = 3 / np.sqrt(2.0) + 1e-6
+
+        @jax.jit
+        def gen_f():
+            # membrane PHANTOM (two horizontal sheets + one tilted)
+            # in weak noise: the -tv-best threshold then selects
+            # surface-concentrated saliency, which is what the lever
+            # is FOR -- cryo-ET membranes are surfaces.  (On an
+            # unstructured sin-hash field the top-5% scatter leaves
+            # no slab row empty and sparse == dense + gate overhead;
+            # see the sparse sweep's random-field row.)
+            zz = jax.lax.broadcasted_iota(jnp.float32, (n_f,) * 3, 0)
+            yy = jax.lax.broadcasted_iota(jnp.float32, (n_f,) * 3, 1)
+            xx = jax.lax.broadcasted_iota(jnp.float32, (n_f,) * 3, 2)
+            noise = 0.05 * jnp.sin(zz * 12.99 + yy * 78.2 + xx * 37.7)
+            s2 = 2.0 * 2.5 * 2.5
+            sheet1 = jnp.exp(-(zz - 0.25 * n_f) ** 2 / s2)
+            sheet2 = jnp.exp(-(zz - 0.70 * n_f) ** 2 / s2)
+            tilted = jnp.exp(-((0.8 * zz + 0.6 * yy - 0.55 * n_f) ** 2)
+                             / s2)
+            return noise + sheet1 + sheet2 + tilted
+
+        def flagship_sparse(v, k1, thr):
+            blur = blur3_pallas(v, (k1, k1, k1))
+            sal, dvec = _hpf(blur, sigma_f, decreasing=True,
+                             formula="planar", want_v=True)
+            sal = jnp.where(sal < thr, 0.0, sal)
+            vote, _ = _tvf(sal, dvec, tv_sigma_f, exponent=4,
+                           truncate_ratio=float(np.sqrt(2.0)),
+                           sparse=True, channel_major=True,
+                           nvec_channel_major=True)
+            s, _ = _spf(vote, decreasing=True, formula="stick")
+            return s
+
+        try:
+            x_f = gen_f()
+            float(x_f[0, 0, 0])
+            blur0 = blur3_pallas(x_f, (k1_f, k1_f, k1_f))
+            sal0, _ = _hpf(blur0, sigma_f, decreasing=True,
+                           formula="planar", want_v=True)
+            thr_f = jnp.float32(fraction_threshold(sal0, 0.05))
+            del blur0, sal0
+            dt = _bench(flagship_sparse, (x_f, k1_f, thr_f), 3,
+                        scalar_perturb)
+            record(f"flagship_sparse_{n_f}", dt, vox=n_f ** 3,
+                   note=f"fused chain, membrane phantom, -tv-best "
+                        f"0.05 sparse TV (hw=3) -- the CLI default "
+                        f"config, {n_f}^3")
+
+            def flagship_dense_thr(v, k1, thr):
+                blur = blur3_pallas(v, (k1, k1, k1))
+                sal, dvec = _hpf(blur, sigma_f, decreasing=True,
+                                 formula="planar", want_v=True)
+                sal = jnp.where(sal < thr, 0.0, sal)
+                vote, _ = _tvf(sal, dvec, tv_sigma_f, exponent=4,
+                               truncate_ratio=float(np.sqrt(2.0)),
+                               sparse=False, channel_major=True,
+                               nvec_channel_major=True)
+                s, _ = _spf(vote, decreasing=True, formula="stick")
+                return s
+
+            dt_d = _bench(flagship_dense_thr, (x_f, k1_f, thr_f), 3,
+                          scalar_perturb)
+            record(f"flagship_densetv_{n_f}", dt_d, vox=n_f ** 3,
+                   note=f"same phantom + threshold, dense TV kernel: "
+                        f"sparse is {dt_d / dt:.2f}x faster, {n_f}^3")
+            del x_f
+        except Exception as e:
+            msg = str(e).splitlines()[0][:120]
+            print(f"flagship_sparse_{n_f}: FAILED ({msg})",
+                  file=sys.stderr)
+            results[f"flagship_sparse_{n_f}"] = {"error": msg}
+
     # ---- 5b. segmentation tail at scale (round-4 verdict #4) ----
     # the host floods (native C++ visfd_connect_flood / Meyer
     # watershed) are single-threaded; these rows show what they cost
@@ -808,7 +897,13 @@ def main():
         "  the occupancy scalars; gating that DMA behind an",
         "  XLA-precomputed occupancy grid faulted the TPU worker in",
         "  round 4 (Mosaic input-DMA-under-conditional miscompile)",
-        "  and was not retried.",
+        "  and was not retried.  End-to-end: on a 512^3 MEMBRANE",
+        "  PHANTOM (two sheets + one tilted, weak noise -- the",
+        "  workload the lever exists for) the full fused flagship",
+        "  with the CLI-default -tv-best 0.05 sparse TV sustains",
+        "  774 Mvox/s vs 352 with the dense kernel on the same",
+        "  field+threshold (flagship_sparse_512 row): 69x the",
+        "  16-thread C++ baseline's default config.",
         "- **Segmentation tail at scale** (round 5, VERDICT r4 #4):",
         "  measured at 384^3 on a smooth sigma=6 field.  find_extrema",
         "  was 77 s/call through the remote tunnel -- 44 s of it",

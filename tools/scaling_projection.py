@@ -98,8 +98,6 @@ def main():
         s, _ = sym3_score_pallas(vote, decreasing=True, formula="stick")
         return s
 
-    jstep = jax.jit(step)
-
     def bench_block(bz, by):
         @jax.jit
         def gen():
@@ -108,15 +106,24 @@ def main():
             xx = jax.lax.broadcasted_iota(jnp.float32, (bz, by, n), 2)
             return jnp.sin(zz * 12.99 + yy * 78.2 + xx * 37.7)
 
+        # iterate ON DEVICE (one dispatch covers all iterations): the
+        # remote tunnel's ~0.2 s per-dispatch latency would otherwise
+        # put a flat floor under the small-block rows and masquerade
+        # as poor per-chip scaling
+        @jax.jit
+        def looped(x0, k1):
+            def body(i, s):
+                out = step(s, k1)
+                return s + out * 1e-30
+            return jax.lax.fori_loop(0, cfg.iters, body, x0)
+
         x = gen()
         float(x[0, 0, 0])
-        out = jstep(x, k1)
+        out = looped(x, k1)
         float(out[0, 0, 0])          # warm / compile
         t0 = time.time()
-        c = x
-        for _ in range(cfg.iters):
-            c = c + jstep(c, k1) * 1e-30
-        float(c[0, 0, 0])
+        out = looped(x, k1)
+        float(out[0, 0, 0])
         return (time.time() - t0) / cfg.iters
 
     rows = []
