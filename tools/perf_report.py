@@ -84,8 +84,9 @@ def main():
                          "volumes exceed the axon tunnel request cap")
     ap.add_argument("--stages", default="all",
                     help="comma list: gauss,hessian,eig,tv,tvlarge,"
-                         "sparse,capacity,blob,segtail,e2e,pipeline "
-                         "(capacity probes until HBM overflow)")
+                         "sparse,fsparse,capacity,blob,segtail,e2e,"
+                         "pipeline (capacity probes until HBM "
+                         "overflow)")
     ap.add_argument("--tv-large", type=int, default=384,
                     help="production-scale TV validation volume edge "
                          "(saliency/direction generated ON DEVICE so "

@@ -182,6 +182,12 @@ def main():
             f"{r['aggregate_gvox_per_s_no_overlap']:.2f} |")
     print("\n".join(lines))
 
+    if not rows:
+        # keep any previously measured projection rather than
+        # clobbering PERF.json with an empty table
+        print("no rows measured; PERF.json left untouched",
+              file=sys.stderr)
+        return
     if os.path.exists(cfg.json_out):
         with open(cfg.json_out) as f:
             report = json.load(f)

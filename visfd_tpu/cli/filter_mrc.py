@@ -306,6 +306,12 @@ def handle_watershed(s, x_np, mask_np):
             label_boundary=int(s.watershed_boundary_label),
             label_undefined=-1)
     else:
+        if x_np.size >= 256 ** 3:
+            print("note: the host Meyer flood is serial at this "
+                  "volume; -watershed-device runs the sharded device "
+                  "flood (measured ~2x at 384^3, scales with -mesh; "
+                  "label-level parity wherever intensities are "
+                  "distinct)", file=sys.stderr)
         res = watershed(
             x_np, mask=mask_np, markers=markers,
             halt_threshold=s.watershed_threshold,
@@ -721,8 +727,12 @@ def handle_tv(s, img, x_np, mask_np, w):
                 # a Mosaic runtime fault that produces garbage instead
                 # of raising is caught too (round-4 advisor).  The
                 # scalar reduction is replicated under GSPMD, so the
-                # fetch is multi-process safe.
-                if not bool(jnp.isfinite(score).all()):
+                # fetch is multi-process safe.  Masked-out voxels are
+                # excluded (NaN padding outside the mask is legal
+                # input and the final output masks it anyway).
+                chk = (score if mask is None
+                       else jnp.where(mask != 0, score, 0.0))
+                if not bool(jnp.isfinite(chk).all()):
                     raise FloatingPointError(
                         "fused eigen score is not finite")
                 record_path("hessian_eigen",
@@ -990,10 +1000,12 @@ def handle_tv(s, img, x_np, mask_np, w):
             # download when -normals-file was not requested
             want_dense_vectors=bool(s.out_normals_fname),
             report=sys.stderr)
+        # res.vector_standardized is populated exactly when a dense
+        # consumer exists (want_dense_vectors above); otherwise leave
+        # direction_np unset -- gathering vev1 here would download the
+        # full direction volume that nothing reads
         if res.vector_standardized is not None:
             direction_np = res.vector_standardized
-        else:
-            direction_np = to_host_np(vev1)
         labels = np.where(res.labels > res.num_clusters, -1, res.labels)
         max_label = labels.max() if labels.size else 0
         out = labels.astype(np.float32)
@@ -1235,6 +1247,11 @@ def handle_thresholds(s, x_in_np, out_np, mask_np):
 
 def run(argv) -> int:
     s = S.parse_args(list(argv))
+
+    # per-invocation telemetry: a prior run's stage paths (e.g. a
+    # recorded fallback) must not leak into this run's summary line
+    from visfd_tpu.utils import reset_paths
+    reset_paths()
 
     if getattr(s, "mesh_devices", 0):
         # multi-host runs: join the cluster before any backend use so

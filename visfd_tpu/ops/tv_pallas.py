@@ -505,9 +505,10 @@ def tv_dense_stick_pallas(
     """Raw (unnormalized) vote tensors (Z, Y, X, 6) -- or channel-major
     (6, Z, Y, X) with ``channel_major=True`` -- and optionally the
     masked-normalization denominator (Z, Y, X).  ``sparse`` gates
-    (tz, ty) tap groups on per-row source occupancy (pl.when) --
-    equal to the dense kernel to the last ulp, large speedup when most
-    saliencies are zero (-tv-best)."""
+    z-offset tap groups on per-source-plane occupancy (pl.when) --
+    equal to the dense kernel to FMA-contraction ulps (bitwise at most
+    window sizes), large speedup when the zero saliencies are
+    spatially coherent (-tv-best on membrane-like data)."""
     # resolve the nvec layout OUTSIDE the jit (it is a static property)
     nv_cm = nvec_channel_major
     if nv_cm is None:

@@ -298,9 +298,21 @@ def find_extrema(
                 offs, x.shape)
 
         def compact(kind, thr):
+            # the full-volume path compares float32 scores against the
+            # PYTHON (float64) threshold on the host; reproduce that
+            # exactly with an f32 comparison against the correctly
+            # rounded boundary (f32 -> f64 promotion is exact, so
+            # v <= thr in f64  <=>  v <= floor-to-f32(thr) in f32)
+            t32 = np.float32(thr)
+            if kind == "min":
+                if np.float64(t32) > thr:
+                    t32 = np.nextafter(t32, np.float32(-np.inf))
+            else:
+                if np.float64(t32) < thr:
+                    t32 = np.nextafter(t32, np.float32(np.inf))
             cand, counts = _extrema_counts(
                 x, m, has_lt, has_gt, border, has_same,
-                jnp.float32(thr), kind, bool(allow_borders))
+                jnp.float32(t32), kind, bool(allow_borders))
             cnt = int(np.asarray(counts).astype(np.int64).sum())
             if cnt == 0:
                 idx = np.zeros(0, np.int64)
@@ -364,6 +376,10 @@ def find_extrema(
             maxima_indices=max_idx, maxima_scores=max_sc,
             maxima_nvoxels=max_nv, label_image=label_image)
 
+    # plateau-heavy fallback (integer-valued / flat-background images):
+    # _extrema_device recomputes the per-offset flag sweep the fast
+    # path already did -- an accepted ~2x flag-pass cost on the inputs
+    # where the full-volume label propagation dominates anyway
     labels, has_lt, has_gt, border = _extrema_device(x, m, offs)
     return postprocess_extrema(
         np.asarray(labels), np.asarray(has_lt), np.asarray(has_gt),
