@@ -216,3 +216,30 @@ def test_extrema_hybrid_plateau_path_matches_full(rng, connectivity):
     nz, ny, nx = x.shape
     l_idx = 4 + nx * (3 + ny * 2)
     assert sizes[l_idx] == 3
+
+
+def test_extrema_thresholded_zero_plateau_fast_path(rng):
+    """Regression (round 5): a -tv-best-thresholded saliency field is
+    ~95% EXACT ZEROS -- one volume-sized plateau that forced the
+    full-volume label propagation (and crashed the TPU worker at
+    384^3).  With a maxima threshold above zero the zero plateau is
+    irrelevant (no member can pass), so the fast path must engage and
+    agree with the full-volume path."""
+    from visfd_tpu.segment import extrema as E
+    x = np.abs(rng.normal(size=(12, 12, 12))).astype(np.float32)
+    thr = float(np.quantile(x, 0.9))
+    x[x < thr] = 0.0   # 90% exact zeros
+    offs = E.neighbor_offsets(1)
+    _, _, _, hs, _ = E._extrema_flags(jnp.asarray(x), None, offs)
+    assert int(np.asarray(jnp.sum(hs))) > x.size // 2  # giant plateau
+    res = E.find_extrema(x, find_minima=False, find_maxima=True,
+                         maxima_threshold=thr, connectivity=1)
+    labels, hl, hg, bd = E._extrema_device(jnp.asarray(x), None, offs)
+    ref = E.postprocess_extrema(np.asarray(labels), np.asarray(hl),
+                                np.asarray(hg), np.asarray(bd), x,
+                                find_minima=False, find_maxima=True,
+                                maxima_threshold=thr)
+    np.testing.assert_array_equal(res.maxima_indices, ref.maxima_indices)
+    np.testing.assert_array_equal(res.maxima_scores, ref.maxima_scores)
+    np.testing.assert_array_equal(res.maxima_nvoxels, ref.maxima_nvoxels)
+    np.testing.assert_array_equal(res.label_image, ref.label_image)

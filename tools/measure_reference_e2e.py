@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--sizes", default="128,384")
     ap.add_argument("--threads", type=int,
                     default=os.cpu_count() or 1)
+    ap.add_argument("--membrane-rec",
+                    default="/tmp/visfd_e2e_membrane.rec")
     cfg = ap.parse_args()
 
     from visfd_tpu.io import mrc
@@ -51,14 +53,25 @@ def main():
 
     env = dict(os.environ, OMP_NUM_THREADS=str(cfg.threads))
     out = {}
-    for n in (int(s) for s in cfg.sizes.split(",")):
-        vol = np.random.default_rng(0).normal(
-            size=(n, n, n)).astype(np.float32)
-        td = f"/tmp/ref_e2e_{n}"
+    specs = [(int(s), None) for s in cfg.sizes.split(",")]
+    if cfg.membrane_rec and os.path.exists(cfg.membrane_rec):
+        # the membrane-phantom volume perf_report's e2e stage wrote:
+        # the realistic workload (coherent saliency, small cluster
+        # count) on the IDENTICAL input our CLI was timed on
+        n_m = mrc.read_mrc(cfg.membrane_rec).data.shape[0]
+        specs.append((n_m, cfg.membrane_rec))
+    for n, rec in specs:
+        td = f"/tmp/ref_e2e_{n}" + ("_membrane" if rec else "")
         os.makedirs(td, exist_ok=True)
-        mrc.write_mrc(os.path.join(td, "vol.rec"), vol)
+        if rec is None:
+            vol = np.random.default_rng(0).normal(
+                size=(n, n, n)).astype(np.float32)
+            mrc.write_mrc(os.path.join(td, "vol.rec"), vol)
+            in_rec = os.path.join(td, "vol.rec")
+        else:
+            in_rec = rec
         base = [BIN, "-w", "1", "-bin", "1",
-                "-in", os.path.join(td, "vol.rec"),
+                "-in", in_rec,
                 "-out", os.path.join(td, "out.rec"),
                 "-membrane", "minima", "3.4641016",
                 "-tv", "2.2", "-tv-angle-exponent", "4"]
@@ -75,7 +88,7 @@ def main():
         dt_e2e = run(base + ["-connect", "1e-30"])
         connect_part = max(0.0, dt_e2e - dt_mem)
         dt16 = dt_mem / (16 / cfg.threads) + connect_part
-        out[str(n)] = {
+        out[str(n) + ("_membrane" if rec else "")] = {
             "threads": cfg.threads,
             "membrane_tv_s": dt_mem,
             "e2e_s": dt_e2e,

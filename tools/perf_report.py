@@ -761,27 +761,42 @@ def main():
         del x_host
 
     # ---- 5c. true end-to-end CLI wall clock (read->...->write) ----
+    # two workloads: pure NOISE (adversarial: the -tv-best top-5%
+    # scatter gives ~260k clusters, so e2e is serial-flood bound on
+    # any implementation) and a MEMBRANE PHANTOM (the designed-for
+    # workload: coherent saliency, small cluster count, e2e tracks the
+    # device stages).  The phantom volume is also saved to
+    # /tmp/visfd_e2e_membrane.rec so tools/measure_reference_e2e.py
+    # can time the C++ reference on the IDENTICAL input.
     if want("e2e"):
-        import subprocess
         import tempfile
         from visfd_tpu.io import mrc as MRC
+        from visfd_tpu.cli import filter_mrc as FM
         n_e = min(cfg.dense_size, 384)
-        with tempfile.TemporaryDirectory() as td:
-            vol = np.asarray(
-                jnp.asarray(rng.normal(size=(n_e,) * 3), jnp.float32))
-            MRC.write_mrc(os.path.join(td, "in.rec"), vol)
-            del vol
-            args = ["-w", "1", "-bin", "1",
-                    "-in", os.path.join(td, "in.rec"),
-                    "-out", os.path.join(td, "out.rec"),
+
+        @jax.jit
+        def gen_phantom():
+            zz = jax.lax.broadcasted_iota(jnp.float32, (n_e,) * 3, 0)
+            yy = jax.lax.broadcasted_iota(jnp.float32, (n_e,) * 3, 1)
+            xx = jax.lax.broadcasted_iota(jnp.float32, (n_e,) * 3, 2)
+            noise = 0.05 * jnp.sin(zz * 12.99 + yy * 78.2 + xx * 37.7)
+            s2 = 2.0 * 2.5 * 2.5
+            return (noise + jnp.exp(-(zz - 0.25 * n_e) ** 2 / s2)
+                    + jnp.exp(-(zz - 0.70 * n_e) ** 2 / s2)
+                    + jnp.exp(-((0.8 * zz + 0.6 * yy
+                                 - 0.55 * n_e) ** 2) / s2))
+
+        def run_e2e(vol_np, name, in_path, out_dir):
+            MRC.write_mrc(in_path, vol_np)
+            args = ["-w", "1", "-bin", "1", "-in", in_path,
+                    "-out", os.path.join(out_dir, "out.rec"),
                     "-membrane", "minima", "3.4641016",
                     "-tv", "2.2",      # tv_sigma 2.2 vox -> hw=3
                     "-tv-angle-exponent", "4",
                     # tiny positive threshold: every -tv-best survivor
-                    # is a candidate, so the flood does real work on
-                    # this synthetic volume (1e9 yielded 0 seeds)
+                    # is a candidate (a large one yields 0 seeds on
+                    # synthetic volumes)
                     "-connect", "1e-30"]
-            from visfd_tpu.cli import filter_mrc as FM
             t0 = time.time()
             rc = FM.run(args)    # includes compile on first run
             dt_cold = time.time() - t0
@@ -790,10 +805,21 @@ def main():
             rc = FM.run(args)
             dt = time.time() - t0
             assert rc == 0
-            record(f"cli_e2e_{n_e}", dt, vox=n_e ** 3,
+            record(name, dt, vox=n_e ** 3,
                    note=f"full CLI: read -> membrane -> TV(hw3) -> "
                         f"connect -> write, {n_e}^3, warm "
                         f"(cold incl. compile: {dt_cold:.1f}s)")
+
+        with tempfile.TemporaryDirectory() as td:
+            vol = np.asarray(
+                jnp.asarray(rng.normal(size=(n_e,) * 3), jnp.float32))
+            run_e2e(vol, f"cli_e2e_{n_e}",
+                    os.path.join(td, "in.rec"), td)
+            del vol
+            ph = np.asarray(gen_phantom(), np.float32)
+            run_e2e(ph, f"cli_e2e_{n_e}_membrane",
+                    "/tmp/visfd_e2e_membrane.rec", td)
+            del ph
 
     # ---- 6. full pipeline (the bench.py number), both TV paths ----
     import bench as BENCH

@@ -265,10 +265,10 @@ def handle_extrema(s, x_np, mask_np, w):
                 fh.write(f"{fmt_g(ix * w[0])} {fmt_g(iy * w[1])} "
                          f"{fmt_g(iz * w[2])} {nv} {fmt_g(sc)}\n")
 
-    if s.find_minima and len(res.minima_indices):
+    if is_writer() and s.find_minima and len(res.minima_indices):
         write(s.find_minima_file_name, res.minima_indices,
               res.minima_nvoxels, res.minima_scores)
-    if s.find_maxima and len(res.maxima_indices):
+    if is_writer() and s.find_maxima and len(res.maxima_indices):
         write(s.find_maxima_file_name, res.maxima_indices,
               res.maxima_nvoxels, res.maxima_scores)
     out = res.label_image.astype(np.float32)
@@ -379,12 +379,12 @@ def handle_blob_detector(s, x, mask, mask_np, w, out_header_shape):
         return B.BlobList(bl.crds * np.asarray(w)[None, :],
                           bl.diameters * w[0], bl.scores)
 
-    if s.blob_minima_file_name:
+    if s.blob_minima_file_name and is_writer():
         mn = B.sort_blobs(physical(minima), B.SORT_INCREASING,
                           ascending_order=False)
         write_blob_coords_file(s.blob_minima_file_name, mn.crds,
                                mn.diameters, mn.scores)
-    if s.blob_maxima_file_name:
+    if s.blob_maxima_file_name and is_writer():
         mx = B.sort_blobs(physical(maxima), B.SORT_DECREASING,
                           ascending_order=False)
         write_blob_coords_file(s.blob_maxima_file_name, mx.crds,
@@ -476,7 +476,7 @@ def load_blobs_for_nms(s, mask_np, w):
 
 def handle_blob_nms(s, mask_np, w):
     blobs = load_blobs_for_nms(s, mask_np, w)
-    if s.out_crds_file_name:
+    if s.out_crds_file_name and is_writer():
         vw = w[0] if w[0] > 0 else 1.0
         write_blob_coords_file(s.out_crds_file_name, blobs.crds * vw,
                                blobs.diameters * vw, blobs.scores)

@@ -211,12 +211,18 @@ def _tv_kernel(hw, exponent, detect_curves, ker, want_den, sparse,
                             r1 = sx2 * ry - a1
                             r2v = sx2 * rz - a2
                         amp = s * (w * dec)
-                        acc[0] = acc[0] + amp * r0 * r0
-                        acc[1] = acc[1] + amp * r1 * r1
-                        acc[2] = acc[2] + amp * r2v * r2v
-                        acc[3] = acc[3] + amp * r0 * r1
-                        acc[4] = acc[4] + amp * r1 * r2v
-                        acc[5] = acc[5] + amp * r0 * r2v
+                        # factored amp*r_i products: same left-to-right
+                        # association as amp * r_i * r_j, so results
+                        # are bit-identical, 3 fewer muls per tap
+                        p0 = amp * r0
+                        p1 = amp * r1
+                        p2 = amp * r2v
+                        acc[0] = acc[0] + p0 * r0
+                        acc[1] = acc[1] + p1 * r1
+                        acc[2] = acc[2] + p2 * r2v
+                        acc[3] = acc[3] + p0 * r1
+                        acc[4] = acc[4] + p1 * r2v
+                        acc[5] = acc[5] + p0 * r2v
                         if want_den:
                             m = m2r[sl]
                             acc[6] = acc[6] + jnp.where(s != 0.0, w * m, 0.0)

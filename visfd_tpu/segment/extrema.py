@@ -148,6 +148,38 @@ def _extrema_flags(x, mask, offsets):
             jnp.sum(has_same, axis=(1, 2), dtype=jnp.int32))
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("find_minima", "find_maxima"))
+def _relevant_same(x, has_same, tmin, tmax, find_minima, find_maxima):
+    """Restrict the plateau analysis to voxels that could pass the
+    requested thresholds.  A plateau has ONE value, so either every
+    member passes or none does -- plateau connectivity among voxels
+    that fail both thresholds cannot affect any output.  This is what
+    keeps the flagship's thresholded saliency (95% EXACT ZEROS after
+    -tv-best, i.e. one volume-sized zero plateau) on the compaction
+    fast path instead of a full-volume label propagation."""
+    rel = jnp.zeros(x.shape, bool)
+    if find_minima:
+        rel = rel | (x <= tmin)
+    if find_maxima:
+        rel = rel | (x >= tmax)
+    hs = has_same & rel
+    return hs, jnp.sum(hs, axis=(1, 2), dtype=jnp.int32)
+
+
+def _f32_bound(thr, is_min):
+    """Largest/smallest f32 boundary reproducing the host float64
+    comparison exactly (f32 -> f64 promotion is exact)."""
+    t32 = np.float32(thr)
+    if is_min:
+        if np.float64(t32) > thr:
+            t32 = np.nextafter(t32, np.float32(-np.inf))
+    else:
+        if np.float64(t32) < thr:
+            t32 = np.nextafter(t32, np.float32(np.inf))
+    return t32
+
+
 @functools.partial(jax.jit, static_argnames=("kind", "allow_borders"))
 def _extrema_counts(x, mask, has_lt, has_gt, border, has_same, thr,
                     kind, allow_borders):
@@ -279,8 +311,12 @@ def find_extrema(
     # rare (e.g. integer-valued images with flat backgrounds) the
     # link set would rival the volume, so fall back to the full-volume
     # propagation below.
-    has_lt, has_gt, border, has_same, same_counts = _extrema_flags(
-        x, m, offs)
+    has_lt, has_gt, border, has_same, _ = _extrema_flags(x, m, offs)
+    t32_min = _f32_bound(minima_threshold, is_min=True)
+    t32_max = _f32_bound(maxima_threshold, is_min=False)
+    has_same, same_counts = _relevant_same(
+        x, has_same, jnp.float32(t32_min), jnp.float32(t32_max),
+        bool(find_minima), bool(find_maxima))
     n_same = int(np.asarray(same_counts).astype(np.int64).sum())
     if n_same * max(len(offs), 1) <= x.size // 8:
         nz, ny, nx = x.shape
@@ -299,17 +335,9 @@ def find_extrema(
 
         def compact(kind, thr):
             # the full-volume path compares float32 scores against the
-            # PYTHON (float64) threshold on the host; reproduce that
-            # exactly with an f32 comparison against the correctly
-            # rounded boundary (f32 -> f64 promotion is exact, so
-            # v <= thr in f64  <=>  v <= floor-to-f32(thr) in f32)
-            t32 = np.float32(thr)
-            if kind == "min":
-                if np.float64(t32) > thr:
-                    t32 = np.nextafter(t32, np.float32(-np.inf))
-            else:
-                if np.float64(t32) < thr:
-                    t32 = np.nextafter(t32, np.float32(np.inf))
+            # PYTHON (float64) threshold on the host; the correctly
+            # rounded f32 boundary reproduces that exactly
+            t32 = t32_min if kind == "min" else t32_max
             cand, counts = _extrema_counts(
                 x, m, has_lt, has_gt, border, has_same,
                 jnp.float32(t32), kind, bool(allow_borders))
